@@ -1,0 +1,83 @@
+"""Source/sink layer.
+
+The reference reads/writes Parquet on HDFS and CSV via a driver-side pandas
+detour (``tasks/scripts/prepare_data.py:16``, ``:39-40``); here every format
+goes through ``spark.read``/``df.write`` directly so filters and column
+pruning push into the scan and writes stay distributed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from final_project_big_data_spark.schemas import TABLE_NAMES, TABLE_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Pin runtime-settable confs required for deterministic oracle parity,
+    even when the engine runs under a session it did not build (e.g. the
+    verification driver's): UTC rendering, and nanos-as-long so Spark 4 can
+    scan the ns-precision ``events.ts`` parquet column at all.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one fixture table (lazy; pushdown-friendly).
+
+    Schema comes from the Parquet footer; ``TABLE_SCHEMAS[name]`` documents
+    the contract and is asserted in tests rather than forced on the reader
+    (forcing a schema would disable some Parquet filter pushdown paths).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); it is scanned as a
+    raw nanos long and converted to a microsecond timestamp with integer
+    division (``div 1000`` keeps full int64 precision — float division would
+    lose bits above 2^53), matching DuckDB's ns→µs truncation exactly.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    _pin_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for the SQL entry point."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema_name: str) -> DataFrame:
+    """CSV scan with a declared schema — no inference, no pandas staging.
+
+    Spark-native replacement for the reference's driver-side
+    ``pd.read_csv`` (``tasks/scripts/prepare_data.py:16``).
+    """
+    return spark.read.csv(path, header=True, schema=TABLE_SCHEMAS[schema_name])
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Distributed Parquet sink, overwrite mode (reference O6).
+
+    ``partition_by`` enables partition pruning for downstream scans — the
+    100 TB layout knob the reference never used.
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

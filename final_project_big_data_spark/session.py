@@ -1,0 +1,72 @@
+"""SparkSession factory with deterministic, scale-aware defaults.
+
+Replaces the reference's per-script ad-hoc session configs
+(``tasks/scripts/producer.py:14-19`` pins ``spark.sql.adaptive.enabled=false``
+and ``spark.cores.max=8``; each ``tasks/exes/*.sh`` re-pins ports/timeouts).
+Here a single factory pins semantics-relevant settings (UTC timezone, AQE
+**on**, Arrow on) and leaves cluster sizing to the submitter — scale-out is
+config-only, no code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "final_project_big_data_spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's pinned defaults.
+
+    Semantics-critical pins (required for oracle parity and determinism):
+    - ``spark.sql.session.timeZone=UTC``  — testdata timestamps are tz-naive
+      UTC; DuckDB oracle timestamps are UTC-naive.
+    - AQE on (coalesce partitions + skew-join) — deliberately diverging from
+      the reference, which disabled AQE only because its producer job wrote
+      one row per Spark job (``tasks/scripts/producer.py:17``).
+    - Arrow on for pandas interchange (vectorized pandas UDF path).
+
+    Sizing knobs come from the environment so the same code runs on
+    ``local[32]`` and a 1000-executor cluster:
+    - ``SPARK_GRAFT_CPUS``  — local core count (default ``*``).
+    - ``shuffle_partitions``  — default = cores in local mode; on a real
+      cluster AQE coalesces from a higher initial number anyway.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.ts is parquet timestamp[ns]; Spark 4 rejects NANOS
+        # unless read as raw long (io.load_table converts to micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
