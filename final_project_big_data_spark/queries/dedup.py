@@ -1,1 +1,325 @@
-"""Placeholder — filled in by the LLM-pipeline extension task."""
+"""Deduplication operators for an LLM training-data pipeline (SURVEY C20+).
+
+Five families over ``documents`` / ``embeddings``:
+
+- exact (hash-groupBy)
+- MinHash + LSH banding (shingle → md5 minhash → band key → bucket join)
+- SimHash (per-bit majority over md5-derived 32-bit word hashes)
+- n-gram Jaccard (blocked pair generation + set overlap)
+- embedding-cosine near-dup (blocked by label)
+
+Everything is built-in-function Spark (no Python in the hot path), and every
+query here is *fully* oracle-checked: both engines compute the identical
+md5-based hashes, so even MinHash/SimHash hash-match DuckDB.
+
+Scale posture (100 TB): no O(n²) anywhere global — pair generation is always
+blocked (LSH band key, (lang, size-bucket), label), i.e. an equi-join that
+shuffles on the block key. The fixture's band/block sizes are tuned for the
+synthetic data; at scale the same plans hold with more bands/buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.queries import query
+
+_N_MINHASH = 4  # permutations, implemented as seeded md5 re-hashes
+
+
+def _words(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS fp
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d01(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min doc_id per group.
+
+    One shuffle on the (hashed) text; at scale group by md5(text) instead of
+    raw text to keep shuffle rows narrow — shown here via the fp column.
+    """
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies", F.md5("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_exprs() -> list:
+    """k seeded minhashes: min over shingles of md5(seed ‖ shingle)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(_N_MINHASH)
+    ]
+
+
+def _shingled(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → (doc_id, shingle) with 2-word shingles, distinct."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", _words().alias("w")
+    )
+    shingles = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    # array_distinct is per-doc, so no extra (shuffling) distinct() is needed.
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1]))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+"""
+
+_MINHASH_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    mh AS (
+      SELECT doc_id,
+             min(md5('s0:' || shingle)) AS mh0,
+             min(md5('s1:' || shingle)) AS mh1,
+             min(md5('s2:' || shingle)) AS mh2,
+             min(md5('s3:' || shingle)) AS mh3
+      FROM sh GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "d02_minhash_signatures",
+    oracle=_MINHASH_SQL + "SELECT doc_id, mh0, mh1, mh2, mh3 FROM mh ORDER BY doc_id",
+    category="dedup",
+)
+def d02(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures: 2-word shingles → k seeded md5 minima per doc."""
+    return (
+        _shingled(spark, sf)
+        .groupBy("doc_id")
+        .agg(*_minhash_exprs())
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "d03_minhash_lsh_pairs",
+    oracle=_MINHASH_SQL
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh0 AS band_key
+    FROM mh a JOIN mh b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+)
+def d03(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding: bucket-join docs on a minhash band key.
+
+    The join shuffles on the band key only — candidate generation is
+    O(pairs-in-bucket), never O(n²). More permutations/bands sharpen
+    precision/recall at scale; one band suffices on the fixture.
+    """
+    mh = _shingled(spark, sf).groupBy("doc_id").agg(*_minhash_exprs())
+    a = mh.alias("a")
+    b = mh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.mh0") == F.col("b.mh0"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh0").alias("band_key"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_df(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash: per-bit majority vote over md5-derived word hashes."""
+    d = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars",
+                                                  _words().alias("w"))
+    exploded = d.select(
+        "doc_id",
+        F.explode("w").alias("word"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select("doc_id", simhash.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(unnest(string_split_regex(trim(text), '\\s+'))), 1, 8)
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM ex GROUP BY doc_id
+    )
+    SELECT doc_id, {combine} AS simhash FROM bits ORDER BY doc_id
+    """
+
+
+@query("d04_simhash", oracle=_simhash_sql(), category="dedup")
+def d04(spark: SparkSession, sf: str) -> DataFrame:
+    return _simhash_df(spark, sf).orderBy("doc_id")
+
+
+@query(
+    "d05_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    docsets AS (
+      SELECT s.doc_id, d.lang, d.n_chars // 100 AS bucket,
+             list_sort(list(s.shingle)) AS shset
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+      GROUP BY s.doc_id, d.lang, d.n_chars // 100
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shset, b.shset)) * 1.0
+                 / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
+    FROM docsets a JOIN docsets b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shset, b.shset)) * 1.0
+          / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.01
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+)
+def d05(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup: blocked pairs → shingle-set overlap.
+
+    Blocking on (lang, size-bucket) bounds the pair count; the 0.01
+    threshold marks "shares ≥ 2 shingles" on this synthetic corpus.
+    """
+    sh = _shingled(spark, sf)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") / 100).cast("int").alias("bucket")
+    )
+    docsets = (
+        sh.join(d, "doc_id")
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("shset"))
+    )
+    a = docsets.alias("a")
+    b = docsets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset")))
+    union = F.size(F.array_union(F.col("a.shset"), F.col("b.shset")))
+    jac = inter * 1.0 / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.01)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "d06_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    category="dedup",
+)
+def d06(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: label-blocked pairs above cosine 0.3.
+
+    Dot products run element-sequential in both engines (identical fp
+    order), so results hash-match exactly after round(·, 4).
+    """
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -233,14 +233,21 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
     "q11_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     ORDER BY c_custkey
     """,
     category="join",
 )
 def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with no high-value order (filtered NOT EXISTS → left_anti).
+
+    The price filter keeps the result non-empty at every sf — an anti join
+    whose answer is always ∅ would be a vacuous check.
+    """
     c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders")
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -710,17 +717,23 @@ def q29a(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
     ORDER BY nationkey
     """,
     category="setop",
 )
 def q29b(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer nations not served by a rich supplier (EXCEPT-distinct).
+
+    The acctbal filter keeps the difference non-empty at every sf.
+    """
     c = load_table(spark, sf, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    s = load_table(spark, sf, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    s = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     # subtract == SQL EXCEPT (distinct); exceptAll would be multiset minus.
     return c.subtract(s).orderBy("nationkey")

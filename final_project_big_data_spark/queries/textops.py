@@ -1,1 +1,163 @@
-"""Placeholder — filled in by the LLM-pipeline extension task."""
+"""Text-analysis operators for an LLM training-data pipeline (SURVEY C22+).
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM, codegen) —
+no Python UDFs. Every operator is oracle-checked against DuckDB computing
+the identical expression. Tokenization is regex-based; language-ID is an
+n-gram/marker-word heuristic with deterministic argmax (the marker profiles
+are tiny placeholders — real profiles are data, the operator shape is what
+scales).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.queries import query
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Marker-word "n-gram profiles" per language (deterministic placeholder
+# profiles drawn from the fixture vocabulary; see module docstring).
+_LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|fast|slow)\b",
+    "es": r"\b(customer|value|data)\b",
+    "de": r"\b(group|order|window)\b",
+    "fr": r"\b(join|merge|part)\b",
+    "zh": r"\b(scan|hash|key)\b",
+}
+
+_STOPWORDS = r"\b(the|a|and|of|to)\b"
+
+
+@query(
+    "t01_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT)       AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT)
+                                                                         AS n_distinct,
+           CAST(len(regexp_extract_all(text, '{_BPEISH}')) AS INT)       AS n_bpeish
+    FROM documents ORDER BY doc_id
+    """,
+    category="text",
+)
+def t01(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (pure JVM expressions)."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.regexp_count(F.col("text"), F.lit(_BPEISH)).alias("n_bpeish"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_oracle() -> str:
+    scores = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS score_{lang}"
+        for lang, pat in _LANG_MARKERS.items()
+    )
+    # deterministic argmax: first language (declaration order) with max score
+    langs = list(_LANG_MARKERS)
+    great = ", ".join(f"score_{lo}" for lo in langs)
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = greatest({great}) THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {scores}
+      FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_es, score_de, score_fr, score_zh,
+           {case} AS pred_lang
+    FROM scored ORDER BY doc_id
+    """
+
+
+@query("t02_lang_id", oracle=_lang_score_oracle(), category="text")
+def t02(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-based language-ID: per-language hit counts → deterministic argmax."""
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"score_{lang}")
+            for lang, pat in _LANG_MARKERS.items()
+        ],
+    )
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lo}") for lo in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.withColumn("pred_lang", expr).orderBy("doc_id")
+
+
+@query(
+    "t03_quality_score",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                                   AS n_chars_calc,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT)        AS n_words,
+           round(length(text) * 1.0
+                 / len(string_split_regex(trim(text), '\s+')), 4)         AS avg_word_len,
+           round(len(regexp_extract_all(text, '{_STOPWORDS}')) * 1.0
+                 / len(string_split_regex(trim(text), '\s+')), 4)         AS stop_ratio,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                 / length(text), 4)                                       AS punct_ratio,
+           round(least(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0)
+                 * (1.0 - len(regexp_extract_all(text, '{_STOPWORDS}')) * 1.0
+                        / len(string_split_regex(trim(text), '\s+'))), 4) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+    category="text",
+)
+def t03(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality scoring: length/stopword/punctuation ratios."""
+    d = load_table(spark, sf, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stops = F.regexp_count(F.col("text"), F.lit(_STOPWORDS))
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+    chars = F.length("text")
+    return d.select(
+        "doc_id",
+        chars.cast("long").alias("n_chars_calc"),
+        words.alias("n_words"),
+        F.round(chars * 1.0 / words, 4).alias("avg_word_len"),
+        F.round(stops * 1.0 / words, 4).alias("stop_ratio"),
+        F.round(punct * 1.0 / chars, 4).alias("punct_ratio"),
+        F.round(
+            F.least(F.lit(1.0), words / 100.0) * (1.0 - stops * 1.0 / words), 4
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "t04_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(text) AS fp,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_norm,
+           md5(array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' '))
+             AS fp_prefix
+    FROM documents ORDER BY doc_id
+    """,
+    category="text",
+)
+def t04(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: exact, normalized, and 8-word-prefix hashes."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp_norm"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp_prefix"),
+    ).orderBy("doc_id")

@@ -1,0 +1,92 @@
+"""Property tests for dedup operators: planted duplicates must be found.
+
+The fixture corpus has no duplicate texts (verified), so these tests plant
+exact copies and word-level mutations into a temp sf-dir and re-run the
+registered query builders on it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.queries import all_specs
+
+N_PLANT = 10
+ID_OFFSET = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, sf_dir, tmp_path_factory):
+    """Copy of the sf-dir's documents with 10 exact dups + 5 near-dups."""
+    out = str(tmp_path_factory.mktemp("planted"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = (
+        docs.orderBy("doc_id")
+        .limit(N_PLANT)
+        .withColumn("doc_id", F.col("doc_id") + ID_OFFSET)
+    )
+    # near-dups: replace the word 'the' to mutate a few tokens
+    near = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 2 * ID_OFFSET)
+        .withColumn(
+            "text",
+            F.concat(F.regexp_replace("text", r"\bthe\b", "thy"), F.lit(" zzz")),
+        )
+    )
+    docs.unionAll(exact).unionAll(near).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    for t in ("embeddings",):  # d06 reads embeddings; link unchanged
+        shutil.copytree(
+            f"{sf_dir}/{t}.parquet", os.path.join(out, f"{t}.parquet")
+        ) if os.path.isdir(f"{sf_dir}/{t}.parquet") else shutil.copy(
+            f"{sf_dir}/{t}.parquet", os.path.join(out, f"{t}.parquet")
+        )
+    return out
+
+
+def test_exact_dedup_collapses_planted(spark, planted_dir):
+    res = all_specs()["d01_exact_dedup"].builder(spark, planted_dir)
+    dups = {r.doc_id: r.n_copies for r in res.filter(F.col("n_copies") > 1).collect()}
+    # every planted copy collapses onto its original (min doc_id wins)
+    assert len(dups) == N_PLANT
+    assert all(v == 2 for v in dups.values())
+    assert all(k < ID_OFFSET for k in dups)
+
+
+def test_minhash_lsh_finds_exact_copies(spark, planted_dir):
+    res = all_specs()["d03_minhash_lsh_pairs"].builder(spark, planted_dir)
+    pairs = {(r.doc_a, r.doc_b) for r in res.collect()}
+    found = sum(
+        1 for i in range(N_PLANT) if any(a == i and b == i + ID_OFFSET for a, b in pairs)
+    )
+    # identical docs have identical minhash → same band, always a candidate
+    assert found == N_PLANT
+
+
+def test_ngram_jaccard_scores_near_dups_high(spark, planted_dir):
+    res = all_specs()["d05_ngram_jaccard_pairs"].builder(spark, planted_dir)
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in res.collect()}
+    near = {
+        (a, b): j
+        for (a, b), j in rows.items()
+        if b >= 2 * ID_OFFSET and a == b - 2 * ID_OFFSET
+    }
+    # mutated copies share most shingles → jaccard far above corpus baseline
+    assert len(near) == 5
+    assert all(j > 0.5 for j in near.values())
+
+
+def test_simhash_near_dups_close(spark, planted_dir):
+    df = all_specs()["d04_simhash"].builder(spark, planted_dir)
+    sims = {r.doc_id: r.simhash for r in df.collect()}
+    for i in range(5):
+        orig, mut = sims[i], sims[i + 2 * ID_OFFSET]
+        hamming = bin(orig ^ mut).count("1")
+        assert hamming <= 8, f"doc {i}: hamming {hamming}"

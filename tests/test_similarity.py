@@ -1,0 +1,27 @@
+"""LSH ANN recall vs the brute-force oracle (SURVEY C21)."""
+
+from __future__ import annotations
+
+from final_project_big_data_spark.queries import all_specs
+
+
+def test_lsh_recall_at_k(spark, sf_dir):
+    exact = all_specs()["s01_cosine_topk"].builder(spark, sf_dir).collect()
+    approx = all_specs()["s02_lsh_ann_topk"].builder(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    # multiprobe 4-plane LSH: far above the ~1% random baseline
+    assert recall >= 0.25, f"recall@5 = {recall:.3f}"
+
+
+def test_lsh_deterministic(spark, sf_dir):
+    a = all_specs()["s02_lsh_ann_topk"].builder(spark, sf_dir).collect()
+    b = all_specs()["s02_lsh_ann_topk"].builder(spark, sf_dir).collect()
+    assert a == b
