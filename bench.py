@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query materializes fully via the noop sink (no driver collect, no disk
+write cost) — measuring the distributed plan, not the result transfer.
+DuckDB wall-clock for the same oracle SQL is reported alongside as the
+baseline the repo targets (BASELINE.md: within 2× at equal sf).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_scan_project",
+    "q06_join_inner",
+    "q14_multiway_join",
+    "q15_hash_aggregate",
+    "q22_window_rank",
+    "q26_topk",
+    "q33_math_fns",
+    "q37_json_fns",
+    "t01_token_count",
+    "d03_minhash_lsh_pairs",
+    "s01_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from final_project_big_data_spark.queries import all_specs
+    from final_project_big_data_spark.session import get_spark
+
+    specs = all_specs()
+    spark = get_spark(app_name="bench")
+    # warm up JVM / codegen so per-query numbers measure the plan
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        # min of 2 runs: the first pays one-time whole-stage-codegen javac
+        # compilation (~1s/query) that is amortized away in any real
+        # deployment; the min measures the executed plan.
+        best = float("inf")
+        for _ in range(2):
+            df = specs[name].builder(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+
+    duck_total = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        t0 = time.perf_counter()
+        for name in HEADLINE:
+            if specs[name].oracle:
+                con.execute(specs[name].oracle).fetchall()
+        duck_total = round(time.perf_counter() - t0, 3)
+    except Exception:
+        pass
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if duck_total is not None:
+        out["duckdb_total_sec"] = duck_total
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
