@@ -42,6 +42,7 @@ def all_specs() -> dict[str, QuerySpec]:
         dedup,
         relational,
         similarity,
+        streamlike,
         textops,
     )
 

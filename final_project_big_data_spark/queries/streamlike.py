@@ -1,0 +1,94 @@
+"""Batch-mode window/sessionization queries (driver-checkable face of the
+streaming surface, SURVEY C10–C12).
+
+The exact same transforms run as Structured-Streaming queries in
+``streaming/pipeline.py``; tests/test_streaming.py proves stream == batch.
+Here they run in batch over ``events`` with DuckDB oracles (epoch-grid
+arithmetic stands in for Spark's ``window()``; lag/cumsum sessionization for
+``session_window``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.queries import query
+from final_project_big_data_spark.streaming.pipeline import (
+    sessionize_batch,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_6H = 6 * 3600
+_3H = 3 * 3600
+
+
+@query(
+    "w01_tumbling_window",
+    oracle=f"""
+    SELECT make_timestamp(((floor(epoch(ts) / {_6H}) * {_6H}) * 1000000)::BIGINT)
+             AS win_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+    """,
+    category="window-stream",
+)
+def w01(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return tumbling_counts(e).orderBy("win_start", "event_type")
+
+
+@query(
+    "w02_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    )
+    SELECT min(ts) AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE AS sess_end,
+           user_id,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_start
+    """,
+    category="window-stream",
+)
+def w02(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumsum rewrite of session_window)."""
+    e = load_table(spark, sf, "events")
+    return sessionize_batch(e, gap_minutes=30).orderBy("user_id", "sess_start")
+
+
+@query(
+    "w03_sliding_window",
+    oracle=f"""
+    WITH x AS (
+      SELECT unnest([floor(epoch(ts) / {_3H}) * {_3H},
+                     floor(epoch(ts) / {_3H}) * {_3H} - {_3H}]) AS s,
+             epoch(ts) AS e
+      FROM events
+    )
+    SELECT make_timestamp((s * 1000000)::BIGINT) AS win_start, count(*) AS cnt
+    FROM x WHERE e >= s AND e < s + {_6H}
+    GROUP BY 1 ORDER BY win_start
+    """,
+    category="window-stream",
+)
+def w03(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return sliding_counts(e).orderBy("win_start")

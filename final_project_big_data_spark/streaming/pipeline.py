@@ -1,0 +1,276 @@
+"""Structured-Streaming surface (SURVEY C09–C16, C19).
+
+Every transform is a pure ``DataFrame -> DataFrame`` function that works
+identically on a batch frame and a streaming frame — the batch run of the
+same function is the correctness oracle for the stream run
+(tests/test_streaming.py).
+
+Reference parity:
+- ``parse_json_stream`` mirrors the scorer's Kafka decode
+  (``/root/reference/tasks/scripts/predict.py:30-32``): binary→string cast,
+  ``from_json`` with the declared schema, struct flatten.
+- ``encode_json`` mirrors the producer's encode (``producer.py:23-24``).
+- ``replay_dir`` + ``file_stream`` replace the reference's per-row
+  collect()+write loop (``producer.py:27-43``, one Spark job per row) with a
+  rate-limited file-stream replay — the anti-scale pattern designed out.
+
+Kafka itself is a deployment detail: the same downstream plan attaches to
+``spark.readStream.format("kafka")`` in production; tests use file streams
+with identical schemas (SURVEY §1.5).
+
+Scale note: AQE is auto-disabled for stateful streaming, so
+``spark.sql.shuffle.partitions`` must be sized explicitly *before the first
+checkpoint* — the state-store partition count freezes there. The engine's
+session factory pins it; a default-200 session pays 200-task micro-batches
+forever.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.schemas import EVENTS
+
+# ------------------------------------------------------------------ sources
+
+
+def replay_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_batches: int = 5
+) -> str:
+    """Write events as ``n_batches`` time-ordered part-files for stream replay.
+
+    Batches are split by event-time quantile (ntile over ts), so replay
+    arrives in time order — exactly how a real stream arrives. Splitting by
+    anything non-temporal would make every batch span the full timeline and
+    the watermark would (correctly) drop most of batches 2..n as late.
+    """
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_b", F.ntile(n_batches).over(W.orderBy("ts", "event_id"))
+    )
+    for i in range(n_batches):
+        (
+            events.filter(F.col("_b") == i + 1)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_{i}"))
+        )
+    return out_dir
+
+
+def file_stream(
+    spark: SparkSession, replay_path: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Rate-limited streaming source over the replay dir (C19).
+
+    ``maxFilesPerTrigger`` is the throttle — replacing the reference's
+    ``time.sleep(2)`` per-row loop with per-micro-batch admission control.
+    """
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_path)
+    )
+
+
+# --------------------------------------------------- stateless (C09, O21-O25)
+
+
+def encode_json(df: DataFrame) -> DataFrame:
+    """Row → JSON envelope (reference producer.py:23-24 pattern)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def parse_json_stream(df: DataFrame, schema: T.StructType = EVENTS) -> DataFrame:
+    """JSON envelope → typed columns (reference predict.py:30-32 pattern)."""
+    return (
+        df.select(F.from_json(F.col("value").cast("string"), schema).alias("data"))
+        .select("data.*")
+    )
+
+
+def score_events(df: DataFrame) -> DataFrame:
+    """Stateless per-record transform (stand-in for model.transform, C09).
+
+    Map-only: survives any partitioning, no state, no shuffle.
+    """
+    return df.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("value") * 2 + F.length("event_type")).alias("score"),
+        F.when(F.col("value") > 50, "high").otherwise("low").alias("band"),
+    )
+
+
+# ------------------------------------------------------- stateful (C10–C12)
+
+
+def tumbling_counts(df: DataFrame, width: str = "6 hours",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregate (C10)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(df: DataFrame, width: str = "6 hours", slide: str = "3 hours",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Sliding window aggregate (C11) — each event lands in width/slide windows."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("win_start"), "cnt")
+    )
+
+
+def session_counts(df: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Session window per user (C12): sessions close after ``gap`` idle."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch oracle for session windows: lag/cumsum gap sessionization.
+
+    Classic window-function rewrite — new session when the per-user gap
+    exceeds the threshold; session end = max ts + gap (matching
+    ``session_window`` semantics).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)  # µs precision — no truncation
+    flagged = df.withColumn(
+        "new_sess",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) >= gap_us
+        ).cast("int"),
+    ).withColumn(
+        "sess_id",
+        F.sum(F.coalesce(F.col("new_sess"), F.lit(1))).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            (F.max("ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")).alias(
+                "sess_end"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .select("sess_start", "sess_end", "user_id", "n_events")
+    )
+
+
+# ------------------------------------------------ dedup / joins (C13–C15)
+
+
+def dedup_stream(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark (C14)."""
+    return df.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def purchase_click_join(df: DataFrame, other: DataFrame,
+                        within: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join (C15): purchases joined to the same
+    user's clicks within the preceding ``within``.
+
+    Both sides watermarked; the time-bound condition lets the state store
+    evict rows — unbounded state would be the scale hazard.
+    """
+    clicks = (
+        other.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        df.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+
+
+# ------------------------------------------------------------------- sinks
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming frame to completion into a memory sink (tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_foreach_batch(stream_df: DataFrame, sink_path: str,
+                      checkpoint: str) -> None:
+    """foreachBatch parquet sink with checkpointed exactly-once-per-batch
+    (C16): re-running from the same checkpoint must not duplicate output.
+
+    Mirrors the reference's checkpointed writeStream
+    (``predict.py:47-53``) with an idempotent batch sink.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # per-epoch subdir + overwrite → idempotent on epoch replay
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
