@@ -40,6 +40,7 @@ def all_specs() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return SPECS."""
     from final_project_big_data_spark.queries import (  # noqa: F401
         dedup,
+        mlq,
         relational,
         similarity,
         streamlike,
