@@ -1,0 +1,179 @@
+"""Multimodal (image/audio/video) column operators (SURVEY C23+).
+
+Media are opaque ``BinaryType`` columns with typed metadata, processed by
+Arrow-batched pandas UDFs over ``mapInPandas`` — the only layer where Python
+touches bytes, and it touches them a batch at a time, never a row at a time.
+
+The container has no image/audio libraries, so the *decode* step is stubbed
+(``decode_image`` raises ``NotImplementedError`` unless PIL is importable,
+with a clearly-marked deterministic fake for tests). Everything Spark-side —
+schema, partitioning, UDF signatures, batch iteration, binaryFile ingestion —
+is real and tested (tests/test_multimodal.py).
+
+Wire format of the synthetic blobs (deterministic, seed-free):
+  bytes 0-3   magic ``FAKE``
+  bytes 4-5   width  (uint16 big-endian)
+  bytes 6-7   height (uint16 big-endian)
+  byte  8     channels (uint8)
+  bytes 9..   payload (md5-chained pseudo-noise, width*height*channels bytes)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"FAKE"
+
+META_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, channels int, n_bytes long"
+)
+FEATURE_SCHEMA = "media_id bigint, mean_intensity double, byte_entropy double"
+FRAME_SCHEMA = "media_id bigint, frame_no int, frame binary, frame_len int"
+
+
+def _payload(media_id: int, n: int) -> bytes:
+    """md5-chained pseudo-noise: deterministic bytes, no RNG state."""
+    out = bytearray()
+    seed = str(media_id).encode()
+    block = hashlib.md5(seed).digest()
+    while len(out) < n:
+        out.extend(block)
+        block = hashlib.md5(block).digest()
+    return bytes(out[:n])
+
+
+def encode_blob(media_id: int, width: int, height: int, channels: int) -> bytes:
+    header = MAGIC + struct.pack(">HHB", width, height, channels)
+    return header + _payload(media_id, width * height * channels)
+
+
+def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic media table: (media_id, kind, blob). Sizes vary by id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["image" if i % 3 else "video" for i in ids],
+                    "blob": [
+                        encode_blob(i, 8 + i % 5, 6 + i % 4, 1 + i % 3)
+                        for i in ids
+                    ],
+                }
+            )
+
+    base = spark.range(n).withColumnRenamed("id", "media_id").repartition(4)
+    return base.mapInPandas(gen, schema="media_id bigint, kind string, blob binary")
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Parse the typed header out of each blob (Arrow-batched)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                ok = b[:4] == MAGIC and len(b) >= 9
+                if ok:
+                    w, h, c = struct.unpack(">HHB", b[4:9])
+                else:
+                    w = h = c = 0
+                rows.append(
+                    (mid, "fake" if ok else "unknown", w, h, c, len(b))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "width", "height", "channels", "n_bytes"],
+            )
+
+    return media.select("media_id", "blob").mapInPandas(parse, schema=META_SCHEMA)
+
+
+def decode_image(blob: bytes):
+    """Real decode — STUB: media libraries are not in this container.
+
+    The Spark-side plumbing (batching, schema, partitioning) is identical
+    whichever decoder runs; swap this function body on a cluster image that
+    ships PIL/ffmpeg.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL; use fake_decode for the deterministic "
+            "test path"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here on a full cluster image")
+
+
+def fake_decode(blob: bytes) -> list[int]:
+    """Deterministic fake decode: payload bytes as intensities."""
+    return list(blob[9:])
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over decoded pixels (mean intensity, byte entropy)."""
+    import math
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                px = fake_decode(bytes(blob))
+                n = len(px) or 1
+                mean = sum(px) / n
+                counts: dict[int, int] = {}
+                for v in px:
+                    counts[v] = counts.get(v, 0) + 1
+                ent = -sum(
+                    (c / n) * math.log2(c / n) for c in counts.values()
+                )
+                rows.append((mid, round(mean, 4), round(ent, 4)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mean_intensity", "byte_entropy"]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 32, every: int = 2) -> DataFrame:
+    """Video frame sampling: slice the payload into fixed-size frames and
+    keep every ``every``-th (Arrow-batched fan-out — rows out > rows in)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_no, out_frame, out_len = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                payload = bytes(blob)[9:]
+                n_frames = len(payload) // frame_bytes
+                for k in range(0, n_frames, every):
+                    fr = payload[k * frame_bytes : (k + 1) * frame_bytes]
+                    out_id.append(mid)
+                    out_no.append(k)
+                    out_frame.append(fr)
+                    out_len.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "frame_no": out_no,
+                    "frame": out_frame,
+                    "frame_len": out_len,
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def ingest_binary_files(spark: SparkSession, path: str) -> DataFrame:
+    """File-system media ingestion via the binaryFile source (reference-free
+    generalization of O1: content + path + length + modificationTime)."""
+    return spark.read.format("binaryFile").load(path)

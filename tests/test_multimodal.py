@@ -1,0 +1,85 @@
+"""Multimodal binary-column plumbing tests (SURVEY C23)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.multimodal import binaryops as B
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return B.synth_media(spark, n=48).cache()
+
+
+def test_blob_roundtrip_bytes(spark, media):
+    """Byte-exact round trip: driver-side encode == distributed blob."""
+    row = media.filter(F.col("media_id") == 7).collect()[0]
+    assert bytes(row.blob) == B.encode_blob(7, 8 + 7 % 5, 6 + 7 % 4, 1 + 7 % 3)
+
+
+def test_metadata_matches_generator(media):
+    meta = {r.media_id: r for r in B.extract_metadata(media).collect()}
+    assert len(meta) == 48
+    for i in (0, 5, 23, 47):
+        r = meta[i]
+        assert (r.fmt, r.width, r.height, r.channels) == (
+            "fake", 8 + i % 5, 6 + i % 4, 1 + i % 3
+        )
+        assert r.n_bytes == 9 + r.width * r.height * r.channels
+
+
+def test_metadata_handles_garbage_blob(spark):
+    import pandas as pd
+
+    garbage = spark.createDataFrame(
+        pd.DataFrame({"media_id": [99], "blob": [b"xx"]})
+    )
+    r = B.extract_metadata(garbage).collect()[0]
+    assert r.fmt == "unknown" and r.width == 0
+
+
+def test_decode_stub_is_marked(media):
+    with pytest.raises(NotImplementedError):
+        B.decode_image(b"FAKE" + b"\x00" * 20)
+
+
+def test_feature_extraction_deterministic(media):
+    a = sorted(map(tuple, B.extract_features(media).collect()))
+    b = sorted(map(tuple, B.extract_features(media).collect()))
+    assert a == b
+    assert all(0 <= row[1] <= 255 for row in a)  # mean intensity in range
+    assert all(row[2] > 0 for row in a)  # md5 noise has positive entropy
+
+
+def test_frame_sampling_fanout(media):
+    frames = B.sample_frames(media, frame_bytes=16, every=2)
+    rows = frames.collect()
+    assert len(rows) > 48  # fan-out: more frames than media rows
+    assert all(r.frame_len == 16 for r in rows)
+    assert all(r.frame_no % 2 == 0 for r in rows)
+    # frame content is a deterministic slice of the payload
+    r0 = [r for r in rows if r.media_id == 3 and r.frame_no == 0][0]
+    payload = B.encode_blob(3, 8 + 3 % 5, 6 + 3 % 4, 1 + 3 % 3)[9:]
+    assert bytes(r0.frame) == payload[:16]
+
+
+def test_binary_file_ingestion(spark, media, tmp_path):
+    """C23: spark.read.format('binaryFile') over real files."""
+    d = str(tmp_path / "files")
+    os.makedirs(d)
+    blobs = {r.media_id: bytes(r.blob) for r in media.limit(5).collect()}
+    for mid, blob in blobs.items():
+        with open(os.path.join(d, f"{mid}.bin"), "wb") as fh:
+            fh.write(blob)
+    df = B.ingest_binary_files(spark, d)
+    assert df.count() == 5
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    got = {
+        int(os.path.basename(r.path).split(".")[0]): bytes(r.content)
+        for r in df.collect()
+    }
+    assert got == blobs
