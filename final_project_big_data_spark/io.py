@@ -29,6 +29,10 @@ def _pin_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ship the engine package to Python workers (foreign-session safe)
+    from final_project_big_data_spark.session import ship_package
+
+    ship_package(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

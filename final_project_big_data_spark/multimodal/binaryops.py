@@ -55,6 +55,9 @@ def encode_blob(media_id: int, width: int, height: int, channels: int) -> bytes:
 
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic media table: (media_id, kind, blob). Sizes vary by id."""
+    from final_project_big_data_spark.session import ship_package
+
+    ship_package(spark)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

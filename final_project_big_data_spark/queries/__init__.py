@@ -39,13 +39,17 @@ def query(name: str, oracle: str | None = None, category: str = "") -> Callable:
 def all_specs() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return SPECS."""
     from final_project_big_data_spark.queries import (  # noqa: F401
+        approx,
         asofq,
         dedup,
         mlq,
+        mmq,
         relational,
         similarity,
+        stats,
         streamlike,
         textops,
+        udfs,
     )
 
     return SPECS

@@ -1,0 +1,152 @@
+"""Approximate aggregates and sampling (SURVEY.md §2.4 C01–C04).
+
+These capabilities are inherently non-hash-matchable (sketches, RNG), so
+each query *encodes its own acceptance property* as boolean columns and the
+oracle asserts the expected booleans — the differential harness then gives
+the same row-count + schema + value guarantee as Tier A, over the property
+rather than the raw values. The property thresholds are stated in each
+docstring.
+
+Reference parity: C03/C04 replace the driver-side sklearn
+``train_test_split`` calls (``/root/reference/tasks/scripts/
+prepare_data.py:19-31``) with distributed ``sampleBy``/``randomSplit`` —
+the semantics declared in SURVEY §7.4 (proportion bounds + fixed-seed
+determinism, not row-identical splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.queries import query
+
+
+@query(
+    "a01_approx_count_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+           TRUE AS approx_within_5pct
+    FROM orders
+    """,
+    category="approx",
+)
+def a01(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ ``approx_count_distinct`` within 5% of exact (C01).
+
+    Returns the exact NDV (hash-matched against DuckDB) plus the sketch's
+    acceptance bit. rsd=0.01 → expected error ≪ 5% at any scale; the sketch
+    aggregates in fixed memory per partition — the whole point at 100 TB,
+    where exact COUNT(DISTINCT) needs a full shuffle of the key universe.
+    """
+    df = load_table(spark, sf, "orders").agg(
+        F.countDistinct("o_custkey").alias("exact_ndv"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_ndv"),
+    )
+    return df.select(
+        "exact_ndv",
+        (
+            F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+            <= 0.05 * F.col("exact_ndv")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@query(
+    "a02_approx_quantiles",
+    oracle="""
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM orders
+    """,
+    category="approx",
+)
+def a02(spark: SparkSession, sf: str) -> DataFrame:
+    """``percentile_approx`` (KLL-style sketch) within 1% of the exact
+    interpolated percentile at p25/p50/p75 (C02).
+
+    The exact p50 itself is hash-matched against DuckDB ``quantile_cont`` —
+    pinning that Spark's exact ``percentile`` and DuckDB agree on
+    interpolation — and the sketch is accepted within relative error 1%.
+    """
+    df = load_table(spark, sf, "orders").agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("exact"),
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.25D, 0.5D, 0.75D), 10000)"
+        ).alias("approx"),
+    )
+    checks = [
+        (
+            F.abs(F.col("approx")[i] - F.col("exact")[i])
+            <= 0.01 * F.abs(F.col("exact")[i])
+        ).alias(name)
+        for i, name in enumerate(["p25_ok", "p50_ok", "p75_ok"])
+    ]
+    return df.select(F.round(F.col("exact")[1], 4).alias("exact_p50"), *checks)
+
+
+@query(
+    "a03_stratified_sample",
+    oracle="""
+    SELECT o_orderstatus AS stratum, TRUE AS ratio_ok, TRUE AS deterministic
+    FROM orders GROUP BY o_orderstatus ORDER BY stratum
+    """,
+    category="sampling",
+)
+def a03(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified Bernoulli sample — ``sampleBy(col, fractions, seed)`` (C03).
+
+    Per stratum: sampled/total within ±10% absolute of the requested 50%
+    fraction, and the same seed reproduces the identical sample (checked by
+    running the sample twice and comparing per-stratum counts). Replaces the
+    reference's sklearn ``train_test_split(stratify=...)`` with the
+    distributed, approximate-count semantics declared in SURVEY §7.4.
+    """
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    fractions = {"F": 0.5, "O": 0.5, "P": 0.5}
+    s1 = orders.sampleBy("o_orderstatus", fractions, seed=42)
+    s2 = orders.sampleBy("o_orderstatus", fractions, seed=42)
+
+    totals = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n_total"))
+    c1 = s1.groupBy("o_orderstatus").agg(F.count("*").alias("n_s1"))
+    c2 = s2.groupBy("o_orderstatus").agg(F.count("*").alias("n_s2"))
+    joined = totals.join(c1, "o_orderstatus").join(c2, "o_orderstatus")
+    return joined.select(
+        F.col("o_orderstatus").alias("stratum"),
+        (
+            F.abs(F.col("n_s1") / F.col("n_total") - 0.5) <= 0.10
+        ).alias("ratio_ok"),
+        (F.col("n_s1") == F.col("n_s2")).alias("deterministic"),
+    ).orderBy("stratum")
+
+
+@query(
+    "a04_random_split",
+    oracle="SELECT TRUE AS complete, TRUE AS disjoint, TRUE AS ratio_ok",
+    category="sampling",
+)
+def a04(spark: SparkSession, sf: str) -> DataFrame:
+    """70/30 ``randomSplit(seed=42)`` — disjoint, complete, ratio within
+    ±5% absolute (C04; reference ``prepare_data.py:26-31`` parity).
+
+    complete: |train| + |test| == |orders|; disjoint: no orderkey lands in
+    both halves (anti-join count 0); ratio: train fraction in [0.65, 0.75].
+    """
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    train, test = orders.randomSplit([0.7, 0.3], seed=42)
+    n_total = orders.count()
+    n_train, n_test = train.count(), test.count()
+    n_overlap = train.join(test, "o_orderkey", "inner").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_train + n_test == n_total,
+                n_overlap == 0,
+                abs(n_train / n_total - 0.7) <= 0.05,
+            )
+        ],
+        "complete boolean, disjoint boolean, ratio_ok boolean",
+    )

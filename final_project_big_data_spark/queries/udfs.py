@@ -1,0 +1,176 @@
+"""Custom-compute surfaces: UDF / pandas UDF / grouped UDAF / UDTF fan-out
+(SURVEY.md §2.4 C05–C08).
+
+The reference has zero UDFs (its only custom compute is MLlib
+``model.transform``, ``/root/reference/tasks/scripts/predict.py:34``); these
+queries declare the engine's escape hatches and pin their semantics against
+SQL oracles. Hierarchy (fast→slow): built-in functions ≫ Arrow-batched
+pandas UDF / mapInPandas ≫ row-at-a-time Python UDF. Only u01 uses the slow
+path — deliberately, to prove the surface; everything the engine ships for
+scale (dedup, similarity, multimodal) rides the Arrow paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.queries import query
+
+# ------------------------------------------------------------- C05 Python UDF
+
+
+@query(
+    "u01_python_udf",
+    oracle="""
+    SELECT o_orderkey, o_totalprice * 0.93 + 10.0 AS adj_price
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+    category="udf",
+)
+def u01(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-at-a-time Python UDF == native arithmetic (C05).
+
+    The float expression is evaluated with the same operand order on both
+    sides, so results are bit-identical before the oracle's 4-decimal
+    canonicalization. Filter applied BEFORE the UDF so the parquet scan
+    still gets the pushed predicate (UDFs block pushdown through them).
+    """
+
+    @F.udf(returnType=T.DoubleType())
+    def adj(price: float) -> float:
+        return price * 0.93 + 10.0
+
+    return (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", adj("o_totalprice").alias("adj_price"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ------------------------------------------------------------- C06 pandas UDF
+
+
+@query(
+    "u02_pandas_udf",
+    oracle="""
+    SELECT c_custkey, UPPER(c_name) || '#' || REVERSE(c_mktsegment) AS tag
+    FROM customer ORDER BY c_custkey
+    """,
+    category="udf",
+)
+def u02(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF == native string functions (C06).
+
+    String transform (no float hazard): vectorized pandas ``str`` ops over
+    Arrow record batches — the fast Python path (~10-100× the row-at-a-time
+    UDF of u01).
+    """
+
+    @F.pandas_udf(T.StringType())
+    def tag(name: pd.Series, seg: pd.Series) -> pd.Series:
+        return name.str.upper() + "#" + seg.map(lambda s: s[::-1])
+
+    return (
+        load_table(spark, sf, "customer")
+        .select("c_custkey", tag("c_name", "c_mktsegment").alias("tag"))
+        .orderBy("c_custkey")
+    )
+
+
+# ----------------------------------------------------- C07 grouped UDAF-style
+
+
+@query(
+    "u03_grouped_udaf",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="udf",
+)
+def u03(spark: SparkSession, sf: str) -> DataFrame:
+    """``applyInPandas`` grouped aggregation == ``groupBy().agg()`` (C07).
+
+    One whole-group pandas frame per market segment; min/max/count are
+    order-independent so the result is exact regardless of partitioning.
+    Scale note: applyInPandas shuffles FULL rows of each group to one task —
+    fine for bounded groups (5 segments here), wrong for heavy-hitter keys;
+    the built-in agg (the oracle's plan) does map-side partial aggregation
+    and is what the engine uses when semantics fit.
+    """
+
+    def seg_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "n": [len(pdf)],
+                "min_bal": [pdf["c_acctbal"].min()],
+                "max_bal": [pdf["c_acctbal"].max()],
+            }
+        )
+
+    return (
+        load_table(spark, sf, "customer")
+        .select("c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(
+            seg_stats,
+            schema="c_mktsegment string, n bigint, min_bal double, max_bal double",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ------------------------------------------------------- C08 UDTF-style fanout
+
+
+@query(
+    "u04_udtf_fanout",
+    oracle="""
+    SELECT doc_id, u.i AS word_idx, u.w AS word FROM (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (x, i) -> {'i': CAST(i AS INT), 'w': x})) AS u
+      FROM documents WHERE doc_id < 50
+    )
+    ORDER BY doc_id, word_idx
+    """,
+    category="udf",
+)
+def u04(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInPandas`` one-row→many-rows fan-out (UDTF shape, C08).
+
+    Splits each document into (word_idx, word) rows — rows out > rows in,
+    the shape ``explode`` can't cover when per-row Python generation is
+    genuinely needed. Arrow-batched; split semantics (single space, empties
+    kept) match DuckDB ``string_split``.
+    """
+
+    def words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for i, w in enumerate(text.split(" "), start=1):
+                    ids.append(did)
+                    idxs.append(i)
+                    ws.append(w)
+            yield pd.DataFrame({"doc_id": ids, "word_idx": idxs, "word": ws})
+
+    return (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .mapInPandas(words, schema="doc_id bigint, word_idx int, word string")
+        .orderBy("doc_id", "word_idx")
+    )

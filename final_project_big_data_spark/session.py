@@ -11,10 +11,38 @@ config-only, no code change.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "final_project_big_data_spark"
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers (``--py-files``
+    posture, done programmatically so it works under ANY session, including
+    the verification driver's).
+
+    cloudpickle serializes closures that reference module-level helpers *by
+    module reference*; workers must therefore be able to import
+    ``final_project_big_data_spark``. On a cluster that's
+    ``spark-submit --py-files engine.zip``; here the engine zips itself once
+    per session and registers it via ``sc.addPyFile``.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_fpbd_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"fpbd_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=repo_root, base_dir="final_project_big_data_spark"
+    )
+    sc.addPyFile(zip_path)
+    sc._fpbd_pkg_shipped = True
 
 
 def get_spark(

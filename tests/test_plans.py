@@ -1,0 +1,75 @@
+"""Plan-shape goldens (SURVEY.md §5.2.5): assert the optimizer artifacts the
+100 TB posture depends on — pushed filters, pruned scans, broadcast joins,
+map-side partial aggregation, top-k physical operator, bounded shuffles —
+without timing flakiness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from final_project_big_data_spark.queries import all_specs
+
+SPECS = all_specs()
+
+
+def plan(spark, name: str, sf_dir: str) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    p = plan(spark, "q02_filter_compare", sf_dir)
+    assert "GreaterThan(l_quantity,30.0)" in p, p
+
+
+def test_scan_prunes_to_projected_columns(spark, sf_dir):
+    p = plan(spark, "q01_scan_project", sf_dir)
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"
+        in p
+    ), p
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    p = plan(spark, "q07_join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_hash_aggregate_has_partial_stage(spark, sf_dir):
+    # map-side combine: partial HashAggregate before the shuffle, final after
+    p = plan(spark, "q15_hash_aggregate", sf_dir)
+    assert p.count("HashAggregate") >= 2, p
+    assert "partial_sum" in p, p
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    p = plan(spark, "q26_topk", sf_dir)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_semi_anti_join_physical(spark, sf_dir):
+    assert "Semi" in plan(spark, "q10_join_semi", sf_dir)
+    assert "Anti" in plan(spark, "q11_join_anti", sf_dir)
+
+
+def test_asof_join_single_hash_shuffle(spark, sf_dir):
+    """The as-of operator's value proposition: ONE hash exchange on the key
+    (plus the final presentation sort), never an O(L×R) join."""
+    p = plan(spark, "x01_asof_join", sf_dir)
+    # exactly one hash shuffle (on the join key) + the final presentation sort
+    assert p.count("Arguments: hashpartitioning(user_id") == 1, p
+    assert p.count("Arguments: rangepartitioning") == 1, p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q14_multiway_join", "q22_window_rank", "q41_stats_agg"],
+)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    p = plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in p, p
