@@ -50,11 +50,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # min of 2 runs: the first pays one-time whole-stage-codegen javac
+        # min of 3 runs: the first pays one-time whole-stage-codegen javac
         # compilation (~1s/query) that is amortized away in any real
         # deployment; the min measures the executed plan.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = specs[name].builder(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()

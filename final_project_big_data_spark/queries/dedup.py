@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.parallelism import widen
 from final_project_big_data_spark.queries import query
 
 _N_MINHASH = 4  # permutations, implemented as seeded md5 re-hashes
@@ -56,17 +57,39 @@ def d01(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MH_P = 1073741789  # prime < 2^30: products stay < 2^60, no int64 overflow
+_MH_COEF = [(1, 0), (976369, 1982627), (515187, 875917), (740041, 303821)]
+
+
+def _base_hash():
+    """One 60-bit integer hash per shingle (md5 prefix)."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def _minhash_exprs() -> list:
-    """k seeded minhashes: min over shingles of md5(seed ‖ shingle)."""
+    """k seeded minhashes via ONE base hash + k affine permutations
+    ``(aᵢ·h + bᵢ) mod P`` (universal hashing).
+
+    Two deliberate choices for the hot path:
+    - integers, not hex strings: ``min(string)`` needs a var-length agg
+      buffer → SortAggregate fallback; ``min(long)`` stays in HashAggregate
+      and shuffles 8 bytes/hash;
+    - one md5 per shingle, not k: the permutation family is integer
+      arithmetic, k× cheaper than k independent digests, with P < 2³⁰ so
+      ``a·h`` fits int64 in both engines (DuckDB raises on overflow).
+    """
+    h = _base_hash() % _MH_P
     return [
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(_N_MINHASH)
+        F.min((F.lit(a) * h + F.lit(b)) % _MH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_COEF)
     ]
 
 
 def _shingled(spark: SparkSession, sf: str) -> DataFrame:
     """documents → (doc_id, shingle) with 2-word shingles, distinct."""
-    d = load_table(spark, sf, "documents").select(
+    d = widen(load_table(spark, sf, "documents")).select(
         "doc_id", _words().alias("w")
     )
     shingles = F.expr(
@@ -87,15 +110,24 @@ _SHINGLE_SQL = """
             FROM documents)
 """
 
+def _minhash_sql_cols() -> str:
+    return ",\n             ".join(
+        f"min(({a} * h + {b}) % {_MH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_COEF)
+    )
+
+
 _MINHASH_SQL = f"""
     WITH sh AS ({_SHINGLE_SQL}),
+    hh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_P} AS h
+      FROM sh
+    ),
     mh AS (
       SELECT doc_id,
-             min(md5('s0:' || shingle)) AS mh0,
-             min(md5('s1:' || shingle)) AS mh1,
-             min(md5('s2:' || shingle)) AS mh2,
-             min(md5('s3:' || shingle)) AS mh3
-      FROM sh GROUP BY doc_id
+             {_minhash_sql_cols()}
+      FROM hh GROUP BY doc_id
     )
 """
 
@@ -126,26 +158,31 @@ def d02(spark: SparkSession, sf: str) -> DataFrame:
     category="dedup",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH banding: bucket-join docs on a minhash band key.
+    """LSH banding: group signatures by band key, emit pairs per bucket.
 
-    The join shuffles on the band key only — candidate generation is
-    O(pairs-in-bucket), never O(n²). More permutations/bands sharpen
-    precision/recall at scale; one band suffices on the fixture.
+    Deliberately NOT a self-join: a self-join evaluates the whole
+    shingle→md5→minhash pipeline twice (Spark can't reuse a subplan across
+    a broadcast and a stream side). Here signatures are computed once,
+    shuffled once on the band key (8-byte rows), and pairs are generated
+    inside each bucket with an array comprehension — candidate generation
+    is O(pairs-in-bucket), never O(n²). At scale, cap bucket size (drop or
+    sub-sample buckets over ~10⁴ docs: a bucket that large is a degenerate
+    band, not a dup cluster) and add bands for recall.
     """
     mh = _shingled(spark, sf).groupBy("doc_id").agg(*_minhash_exprs())
-    a = mh.alias("a")
-    b = mh.alias("b")
+    buckets = (
+        mh.groupBy("mh0")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.mh0") == F.col("b.mh0"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.mh0").alias("band_key"),
-        )
+        buckets.select(F.col("mh0").alias("band_key"), F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "band_key")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -155,8 +192,9 @@ _SIMHASH_BITS = 32
 
 def _simhash_df(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash: per-bit majority vote over md5-derived word hashes."""
-    d = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars",
-                                                  _words().alias("w"))
+    d = widen(load_table(spark, sf, "documents")).select(
+        "doc_id", "lang", "n_chars", _words().alias("w")
+    )
     exploded = d.select(
         "doc_id",
         F.explode("w").alias("word"),
@@ -290,14 +328,6 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
     Dot products run element-sequential in both engines (identical fp
     order), so results hash-match exactly after round(·, 4).
     """
-    e = load_table(spark, sf, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
@@ -305,10 +335,17 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, z: acc + z,
         )
 
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
-        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    # norms once per row, not per pair (HOFs are interpreted — 3× cheaper)
+    e = widen(load_table(spark, sf, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    e = e.withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = e.alias("a")
+    b = e.alias("b")
+
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
     return (
         a.join(
             b,

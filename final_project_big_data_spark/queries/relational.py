@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.ordering import sorted_project
 from final_project_big_data_spark.queries import query
 
 # ---------------------------------------------------------------- scan/filter
@@ -760,7 +761,9 @@ def q29b(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q30(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, sf, "part")
-    return p.select(
+    return sorted_project(
+        p,
+        ["p_partkey"],
         "p_partkey",
         F.upper("p_name").alias("up"),
         F.lower("p_brand").alias("lo"),
@@ -770,7 +773,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
         F.replace(F.col("p_name"), F.lit("a"), F.lit("_")).alias("repl"),
         F.lpad("p_brand", 12, "*").alias("padded"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -862,8 +865,12 @@ def q32b(spark: SparkSession, sf: str) -> DataFrame:
     category="scalar",
 )
 def q33(spark: SparkSession, sf: str) -> DataFrame:
+    # sorted_project: the range-sort sampling pass then reads only the keys
+    # instead of evaluating the math chain twice (3x at sf0.1, see plans/).
     li = load_table(spark, sf, "lineitem")
-    return li.select(
+    return sorted_project(
+        li,
+        ["l_orderkey", "l_linenumber"],
         "l_orderkey",
         "l_linenumber",
         F.round(F.abs(F.col("l_quantity") - 25.0), 4).alias("abs_v"),
@@ -873,7 +880,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         F.floor("l_extendedprice").alias("floor_v"),
         F.ceil("l_extendedprice").alias("ceil_v"),
         (F.col("l_orderkey") % 7).alias("mod_v"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @query(
@@ -893,14 +900,16 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     # NB: Spark double→long cast truncates toward zero; DuckDB's rounds —
     # the oracle uses trunc() to pin the shared semantics.
     o = load_table(spark, sf, "orders")
-    return o.select(
+    return sorted_project(
+        o,
+        ["o_orderkey"],
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_totalprice").cast("long").alias("price_int"),
         F.col("o_custkey").cast("double").alias("cust_dbl"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
         F.lit("123").cast("int").alias("lit_int"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -959,10 +968,12 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
-    return e.select(
+    return sorted_project(
+        e,
+        ["event_id"],
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
-    ).orderBy("event_id")
+    )
 
 
 # ------------------------------------------------------------------ subquery
@@ -1043,7 +1054,9 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     scorer's decode (``predict.py:30-32``); asserts the round trip is the
     identity field-by-field.
     """
-    li = load_table(spark, sf, "lineitem")
+    # sort first: the to_json/from_json chain is evaluated once, after the
+    # range exchange (projections preserve the sorted order).
+    li = load_table(spark, sf, "lineitem").orderBy("l_orderkey", "l_linenumber")
     payload_schema = "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE"
     encoded = li.select(
         "l_orderkey",
@@ -1072,4 +1085,4 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("data.l_returnflag") == F.col("l_returnflag"))
             & (F.col("data.l_quantity") == F.col("l_quantity"))
         ).alias("roundtrip_ok"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.parallelism import widen
 from final_project_big_data_spark.queries import query
 
 _TOP_K = 5
@@ -54,25 +55,32 @@ def _dot(x, y):
     category="similarity",
 )
 def s01(spark: SparkSession, sf: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast probes × corpus, window top-k."""
-    e = load_table(spark, sf, "embeddings").select(
+    """Brute-force cosine top-k: broadcast probes × corpus, window top-k.
+
+    Norms are computed once per side BEFORE the join — the pair expression
+    is a single dot product. Higher-order array functions are interpreted
+    per element, so evaluating 3 of them per pair (dot + both norms) costs
+    3× this plan; same floats, same order, so the oracle still hash-matches
+    (``sqrt(dot(x,x))`` per row == per pair).
+    """
+    e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = en.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        en.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (
                 _dot(F.col("qv"), F.col("v"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("v"), F.col("v")))
-                )
+                / (F.col("nq") * F.col("nv"))
             ).alias("cs"),
         )
     )
@@ -114,7 +122,7 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
     O(n²) → O(n·probes/B · n) scale path; no vector ever crosses buckets.
     Verified by tests/test_similarity.py recall@k against s01.
     """
-    e = load_table(spark, sf, "embeddings").select(
+    e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -131,7 +139,9 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0),
         lambda acc, bit: acc * 2 + bit,
     )
-    signed = e.withColumn("bucket", sig)
+    signed = e.withColumn("bucket", sig).withColumn(
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
     # multiprobe: own bucket + all 1-bit flips
     probes = F.array(
         F.col("bucket"),
@@ -146,13 +156,12 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
             "probe",
         )
     )
     b = signed
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     return (
         probed.join(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.ordering import sorted_project
 from final_project_big_data_spark.queries import query
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
@@ -48,12 +49,14 @@ def t01(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting (pure JVM expressions)."""
     d = load_table(spark, sf, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    return d.select(
+    return sorted_project(
+        d,
+        ["doc_id"],
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.regexp_count(F.col("text"), F.lit(_BPEISH)).alias("n_bpeish"),
-    ).orderBy("doc_id")
+    )
 
 
 def _lang_score_oracle() -> str:
@@ -82,7 +85,7 @@ def _lang_score_oracle() -> str:
 @query("t02_lang_id", oracle=_lang_score_oracle(), category="text")
 def t02(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-based language-ID: per-language hit counts → deterministic argmax."""
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents").orderBy("doc_id")
     scored = d.select(
         "doc_id",
         "lang",
@@ -97,7 +100,7 @@ def t02(spark: SparkSession, sf: str) -> DataFrame:
     for lang in langs:
         cond = F.col(f"score_{lang}") == best
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    return scored.withColumn("pred_lang", expr).orderBy("doc_id")
+    return scored.withColumn("pred_lang", expr)
 
 
 @query(
@@ -126,7 +129,9 @@ def t03(spark: SparkSession, sf: str) -> DataFrame:
     stops = F.regexp_count(F.col("text"), F.lit(_STOPWORDS))
     punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
     chars = F.length("text")
-    return d.select(
+    return sorted_project(
+        d,
+        ["doc_id"],
         "doc_id",
         chars.cast("long").alias("n_chars_calc"),
         words.alias("n_words"),
@@ -136,7 +141,7 @@ def t03(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.least(F.lit(1.0), words / 100.0) * (1.0 - stops * 1.0 / words), 4
         ).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -155,9 +160,11 @@ def t04(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: exact, normalized, and 8-word-prefix hashes."""
     d = load_table(spark, sf, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    return d.select(
+    return sorted_project(
+        d,
+        ["doc_id"],
         "doc_id",
         F.md5(F.col("text")).alias("fp"),
         F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp_norm"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp_prefix"),
-    ).orderBy("doc_id")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.ordering import sorted_project
 from final_project_big_data_spark.queries import query
 
 # ------------------------------------------------------------- C05 Python UDF
@@ -47,11 +48,11 @@ def u01(spark: SparkSession, sf: str) -> DataFrame:
     def adj(price: float) -> float:
         return price * 0.93 + 10.0
 
-    return (
-        load_table(spark, sf, "orders")
-        .filter(F.col("o_orderkey") < 2000)
-        .select("o_orderkey", adj("o_totalprice").alias("adj_price"))
-        .orderBy("o_orderkey")
+    return sorted_project(
+        load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000),
+        ["o_orderkey"],
+        "o_orderkey",
+        adj("o_totalprice").alias("adj_price"),
     )
 
 
@@ -78,10 +79,11 @@ def u02(spark: SparkSession, sf: str) -> DataFrame:
     def tag(name: pd.Series, seg: pd.Series) -> pd.Series:
         return name.str.upper() + "#" + seg.map(lambda s: s[::-1])
 
-    return (
-        load_table(spark, sf, "customer")
-        .select("c_custkey", tag("c_name", "c_mktsegment").alias("tag"))
-        .orderBy("c_custkey")
+    return sorted_project(
+        load_table(spark, sf, "customer"),
+        ["c_custkey"],
+        "c_custkey",
+        tag("c_name", "c_mktsegment").alias("tag"),
     )
 
 

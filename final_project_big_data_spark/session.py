@@ -86,6 +86,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE coalesce target. Default 64 MiB assumes cluster-scale inputs;
+        # at local bench scale (sf0.1 ≈ 10 MiB tables) it coalesces every
+        # shuffle to 1-5 partitions and idles the other cores. Size it to
+        # data-per-core, not a constant: ~1 MiB locally keeps all local
+        # cores sorting/joining; a cluster submitter overrides via env.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get(
+                "SPARK_GRAFT_ADVISORY_BYTES",
+                str(1024 * 1024) if master.startswith("local") else str(64 * 1024 * 1024),
+            ),
+        )
         # testdata events.ts is parquet timestamp[ns]; Spark 4 rejects NANOS
         # unless read as raw long (io.load_table converts to micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
