@@ -85,3 +85,60 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema_name: str) -> DataFrame:
+    """JSON-lines scan with a declared schema (no inference pass over the
+    data — at scale, schema inference is a full extra read)."""
+    return spark.read.json(path, schema=TABLE_SCHEMAS[schema_name])
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (row-per-line; the distributed analogue of the
+    reference's per-row ``to_json`` Kafka payloads, O15)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (warehouse): pre-shuffles once at write time
+    so every later equi-join/aggregation on ``bucket_cols`` is co-located —
+    zero shuffle at read time. This is the 100 TB answer to repeated joins
+    on the same key (e.g. fact tables keyed by orderkey): pay the shuffle
+    once, amortize it over every downstream query.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed earlier write can leave an orphan location that blocks
+    # re-creating the managed table — clear it (local warehouse only)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
