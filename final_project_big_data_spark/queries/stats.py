@@ -163,3 +163,94 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("l_quantity"))
         .alias("qty_or_flagged"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q46_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy
+    FROM orders ORDER BY o_orderkey
+    """,
+    category="scalar",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic: datediff / interval add / last_day / quarter / doy."""
+    from final_project_big_data_spark.plans.ordering import sorted_project
+
+    o = load_table(spark, sf, "orders")
+    return sorted_project(
+        o,
+        ["o_orderkey"],
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
+@query(
+    "q47_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+           round(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS disc_rev,
+           round(AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS avg_f_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category="aggregate",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation (FILTER / CASE inside aggregates) — one pass,
+    map-side combinable; the idiom that replaces N filtered sub-queries."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))),
+                4,
+            ).alias("disc_rev"),
+            F.round(
+                F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 4
+            ).alias("avg_f_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q48_string_array_ops",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(string_split(substr(text, 1, 50), ' ')), '|')
+             AS sorted_words,
+           string_split(text, ' ')[2] AS second_word,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_parts
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    category="array",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """split / array_sort / array_join / element_at over document text."""
+    from final_project_big_data_spark.plans.ordering import sorted_project
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    parts = F.split(F.col("text"), " ", -1)
+    return sorted_project(
+        d,
+        ["doc_id"],
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.split(F.substring(F.col("text"), 1, 50), " ", -1)), "|"
+        ).alias("sorted_words"),
+        F.element_at(parts, 2).alias("second_word"),
+        F.size(parts).alias("n_parts"),
+    )

@@ -239,6 +239,46 @@ def purchase_click_join(df: DataFrame, other: DataFrame,
 # ------------------------------------------------------------------- sinks
 
 
+def user_running_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value sum) maintained across micro-batches.
+
+    This is the escape hatch for stateful logic the built-in windowed aggs
+    can't express (arbitrary per-key accumulators, custom eviction). State
+    is one fixed-width row per user in the state store; each micro-batch
+    updates only the keys it saw and emits their new totals (update mode).
+    Scale: state shuffles on user_id — same partitioning discipline as any
+    keyed agg; memory is O(distinct users), not O(events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        df.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to completion into a memory sink (tests)."""
     q = (

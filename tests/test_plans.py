@@ -7,6 +7,7 @@ without timing flakiness.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from final_project_big_data_spark.queries import all_specs
 
@@ -73,3 +74,28 @@ def test_asof_join_single_hash_shuffle(spark, sf_dir):
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     p = plan(spark, name, sf_dir)
     assert "CartesianProduct" not in p, p
+
+
+def test_salted_join_equivalence_and_distribution(spark, sf_dir):
+    """salted_join == plain join, and the physical shuffle key includes the
+    salt column (the whole point: hot keys scatter across n_salts tasks)."""
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.plans.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").groupBy().agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()
+    salted = salted_join(li, o, "l_orderkey", n_salts=4).groupBy().agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()
+    assert plain == salted
+
+    j = salted_join(li, o, "l_orderkey", n_salts=4)
+    p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "__salt" in p, p

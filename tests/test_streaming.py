@@ -168,3 +168,33 @@ def test_c19_replay_throughput(spark, replay_path, events_batch):
     rate = n / elapsed
     # ≥3 orders of magnitude over the reference's 0.5 msg/s (BASELINE.md)
     assert rate > 500, f"{rate:.0f} msg/s"
+
+
+def test_custom_stateful_running_totals(spark, replay_path, events_batch):
+    """applyInPandasWithState accumulator == batch groupBy totals.
+
+    The stream emits one update row per (user, micro-batch); the LAST
+    update per user must equal the batch aggregate (count exact, sum to
+    float tolerance — state accumulates in arrival order, batch in
+    partition order).
+    """
+    stream = P.user_running_totals(P.file_stream(spark, replay_path))
+    P.run_to_memory(stream, "c_state_out", output_mode="update")
+    # last update per user = the one with max n_events (strictly increasing);
+    # struct-max keeps its sum even if running sums are non-monotonic
+    final = (
+        spark.table("c_state_out")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("last"))
+    )
+    got = {
+        r.user_id: (r.last.n_events, round(r.last.sum_value, 3))
+        for r in final.collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 3))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
