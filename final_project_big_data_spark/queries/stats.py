@@ -254,3 +254,116 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(parts, 2).alias("second_word"),
         F.size(parts).alias("n_parts"),
     )
+
+
+@query(
+    "q49_window_extras",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING), 4) AS nearby_sum,
+           first_value(o_totalprice) OVER w AS fv,
+           last_value(o_totalprice) OVER w AS lv,
+           nth_value(o_totalprice, 2) OVER w AS nv,
+           round(percent_rank() OVER w2, 4) AS pr,
+           round(cume_dist() OVER w2, 4) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    category="window",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Window completeness: value-RANGE frame, first/last/nth_value,
+    percent_rank, cume_dist.
+
+    The RANGE frame sums neighbors within ±1000.0 of each row's price —
+    frame membership is by value, so results are tie-order independent;
+    the ROWS windows use unique-key orderings for determinism.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf, "orders")
+    # float RANGE bounds need the SQL form (PySpark's rangeBetween is
+    # long-only); same Catalyst SpecifiedWindowFrame either way
+    nearby = F.expr(
+        "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice"
+        " RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)"
+    )
+    w_full = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_rank = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(nearby, 4).alias("nearby_sum"),
+        F.first("o_totalprice").over(w_full).alias("fv"),
+        F.last("o_totalprice").over(w_full).alias("lv"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("nv"),
+        F.round(F.percent_rank().over(w_rank), 4).alias("pr"),
+        F.round(F.cume_dist().over(w_rank), 4).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q50_map_fns",
+    oracle="""
+    SELECT o_orderkey,
+           (map {'status': o_orderstatus, 'prio': o_orderpriority})['status'][1]
+             AS status,
+           (map {'status': o_orderstatus, 'prio': o_orderpriority})['prio'][1]
+             AS prio,
+           CAST(cardinality(map {'status': o_orderstatus,
+                                 'prio': o_orderpriority}) AS INT) AS n_keys
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    category="map",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType construction + key access + cardinality (no map columns in
+    the fixtures, so the map is built from scalars — the operator surface
+    is what's declared)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        m["status"].alias("status"),
+        m["prio"].alias("prio"),
+        F.size(m).alias("n_keys"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q51_higher_order_fns",
+    oracle="""
+    SELECT vec_id,
+           round(list_reduce(embedding::DOUBLE[], (a, b) -> a + b), 4) AS vsum,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_pos,
+           round(list_transform(embedding::DOUBLE[], x -> x * 2.0)[1], 4) AS first_x2
+    FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """,
+    category="array",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions: reduce / filter / transform with
+    lambdas (the JVM-side alternative to a Python UDF over arrays)."""
+    e = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vsum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.element_at(F.transform(v, lambda x: x * 2.0), 1), 4
+        ).alias("first_x2"),
+    ).orderBy("vec_id")

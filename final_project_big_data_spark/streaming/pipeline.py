@@ -239,6 +239,18 @@ def purchase_click_join(df: DataFrame, other: DataFrame,
 # ------------------------------------------------------------------- sinks
 
 
+def enrich_with_dim(df: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with a static dimension row.
+
+    The static side is broadcast to every micro-batch (no state store, no
+    watermark needed — static joins are stateless). This is the streaming
+    analogue of the fact⋈dim broadcast join, and the standard way to attach
+    reference data (user profiles, product catalogs) to a 100 TB/day
+    stream without shuffling it.
+    """
+    return df.join(F.broadcast(dim), "user_id", "left")
+
+
 def user_running_totals(df: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value sum) maintained across micro-batches.

@@ -198,3 +198,18 @@ def test_custom_stateful_running_totals(spark, replay_path, events_batch):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join(spark, replay_path, events_batch):
+    """Stream⋈static-dim broadcast join == batch join (stateless, no
+    watermark, dim re-broadcast per micro-batch)."""
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = P.enrich_with_dim(P.file_stream(spark, replay_path), dim)
+    P.run_to_memory(stream, "c_ssj_out")
+    got = _rows(spark.table("c_ssj_out"), "event_id", "user_id", "tier")
+    want = _rows(P.enrich_with_dim(events_batch, dim), "event_id", "user_id", "tier")
+    assert got == want
