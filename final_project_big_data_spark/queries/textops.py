@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.parallelism import widen
 from final_project_big_data_spark.plans.ordering import sorted_project
 from final_project_big_data_spark.queries import query
 
@@ -167,4 +168,60 @@ def t04(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.col("text")).alias("fp"),
         F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp_norm"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp_prefix"),
+    )
+
+
+@query(
+    "t05_tfidf",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM words GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word AS word, CAST(tf.tf AS BIGINT) AS tf,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+             AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    WHERE tf.doc_id < 100
+    ORDER BY doc_id, word
+    """,
+    category="text",
+)
+def t05(spark: SparkSession, sf: str) -> DataFrame:
+    """From-scratch TF-IDF (smooth-idf: ln((N+1)/(df+1))+1), pure JVM.
+
+    The relational form of text vectorization: tf = count per (doc, word)
+    — one shuffle; df = distinct-doc count per word — one shuffle of
+    (word, doc) pairs; idf joined back via broadcast (vocabulary ≪ corpus).
+    The MLlib HashingTF/IDF surface rides the same math with hashed
+    dimensions (tests/test_ml.py); this query pins the exact values.
+    """
+    d = widen(load_table(spark, sf, "documents"))
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(df), "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "word")
     )

@@ -104,3 +104,78 @@ def test_reference_parity_streaming_score(spark, model, splits, tmp_path):
     # stream score == batch score on the same rows
     batch = M.prediction_envelope(M.score(model, test))
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+# ------------------------------------------------- C22: MLlib text features
+
+
+def test_tfidf_pipeline_deterministic_and_sane(spark, sf_dir):
+    from pyspark.ml.functions import vector_to_array
+
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.ml import text_features as TF
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = TF.fit_tfidf(docs)
+    m2 = TF.fit_tfidf(docs)
+    out1 = (
+        m1.transform(docs)
+        .select(
+            "doc_id",
+            F.size("tokens").alias("n_tok"),
+            F.size("filtered").alias("n_filt"),
+            F.round(
+                F.aggregate(
+                    vector_to_array("tfidf"), F.lit(0.0), lambda a, x: a + x * x
+                ),
+                4,
+            ).alias("sq_norm"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    out2 = (
+        m2.transform(docs)
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    vector_to_array("tfidf"), F.lit(0.0), lambda a, x: a + x * x
+                ),
+                4,
+            ).alias("sq_norm"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    # two fits on the same corpus → identical vectors (IDF is deterministic)
+    assert [(r.doc_id, r.sq_norm) for r in out1] == [tuple(r) for r in out2]
+    for r in out1:
+        assert r.n_filt <= r.n_tok  # stopword filter only removes
+        assert r.sq_norm > 0
+
+
+def test_count_vectorizer_vocab_matches_corpus_frequencies(spark, sf_dir):
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.ml import text_features as TF
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = TF.fit_counts(docs, vocab_size=64, min_df=2)
+    vocab = set(model.stages[-1].vocabulary)
+    assert 0 < len(vocab) <= 64
+
+    # every vocab word must actually appear in ≥2 docs after stopword
+    # filtering, and the top-1 corpus word must be in the vocabulary
+    freqs = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(~F.col("w").isin(TF.STOPWORDS))
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    doc_freq = {r.w: r.df for r in freqs.collect()}
+    assert all(doc_freq.get(w, 0) >= 2 for w in vocab)
+    top_word = max(doc_freq.items(), key=lambda kv: kv[1])[0]
+    assert top_word in vocab
