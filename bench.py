@@ -30,8 +30,10 @@ HEADLINE = [
     "q33_math_fns",
     "q37_json_fns",
     "t01_token_count",
+    "t05_tfidf",
     "d03_minhash_lsh_pairs",
     "s01_cosine_topk",
+    "x01_asof_join",
 ]
 
 

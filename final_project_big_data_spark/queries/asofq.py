@@ -42,3 +42,50 @@ def x01(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         "asof_ts",
     ).orderBy("purchase_id")
+
+
+@query(
+    "x02_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    category="asof",
+)
+def x02(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch interval join: every click within the hour before a purchase,
+    same user (C17's range-join form; the batch analogue of the
+    stream-stream interval join).
+
+    Plan shape: the user_id equality makes this a hash/SMJ equi-join with
+    the time bounds as residual filters — never a banded nested loop. At
+    scale the equi-key bounds the pair space; for key-free range joins,
+    bucketize time into join keys first (same banding idea as LSH).
+    """
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .select("purchase_id", "click_id", "user_id")
+        .orderBy("purchase_id", "click_id")
+    )

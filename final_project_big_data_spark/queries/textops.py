@@ -204,24 +204,23 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
     The MLlib HashingTF/IDF surface rides the same math with hashed
     dimensions (tests/test_ml.py); this query pins the exact values.
     """
+    from pyspark.sql import Window as W
+
     d = widen(load_table(spark, sf, "documents"))
     words = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     )
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = words.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # df as a window count over tf — tf rows are unique per (doc, word), so
+    # count(*) over the word partition IS the document frequency. One pass:
+    # a tf→df join would re-run the whole explode+aggregate for the join's
+    # build side (no subplan reuse across a broadcast boundary).
+    df = F.count("*").over(W.partitionBy("word"))
     n_docs = d.count()
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    idf = F.log((F.lit(n_docs) + 1.0) / (df + 1.0)) + 1.0
     return (
-        tf.filter(F.col("doc_id") < 100)
-        .join(F.broadcast(df), "word")
-        .select(
-            "doc_id",
-            "word",
-            "tf",
-            F.round(F.col("tf") * idf, 4).alias("tfidf"),
-        )
+        tf.withColumn("tfidf", F.round(F.col("tf") * idf, 4))
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "word", "tf", "tfidf")
         .orderBy("doc_id", "word")
     )

@@ -129,3 +129,28 @@ def test_reference_pipeline_runner(spark, tmp_path):
     assert res["envelope"] == ["Time", "Amount", "actual_label", "predicted_label"]
     assert res["accuracy"] > 0.9  # model quality itself is gated in test_ml
     assert res["n_streamed"] == res["n_test"]
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact with a filtered dim must inject a
+    dynamic-pruning subquery into the fact scan (DPP) — at 100 TB this is
+    the difference between scanning 3 partitions and 3000."""
+    out = str(tmp_path / "orders_part")
+    orders = eio.load_table(spark, sf_dir, "orders")
+    eio.write_parquet(orders, out, partition_by=["o_orderstatus"])
+    fact = spark.read.parquet(out)
+    # DPP requires a selective predicate on the dim side (an unfiltered dim
+    # gives the planner no pruning signal)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).filter(F.col("label") == "finished")
+    j = fact.join(dim, "o_orderstatus").select("o_orderkey", "label")
+    p = _plan(j)
+    assert "dynamicpruning" in p.lower(), p
+    want = (
+        eio.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert j.count() == want
