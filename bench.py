@@ -30,10 +30,18 @@ HEADLINE = [
     "q33_math_fns",
     "q37_json_fns",
     "t01_token_count",
-    "t05_tfidf",
     "d03_minhash_lsh_pairs",
     "s01_cosine_topk",
+]
+
+# measured and reported alongside, NOT part of the headline metric — the
+# headline set matches BASELINE.md's Tier-A-representative definition so the
+# per-round numbers stay comparable
+EXTRAS = [
+    "t05_tfidf",
     "x01_asof_join",
+    "x02_interval_join",
+    "d07_dup_clusters",
 ]
 
 
@@ -65,6 +73,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        df = specs[name].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
     duck_total = None
     try:
         import duckdb
@@ -92,6 +107,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    out["extra_queries"] = extras
     if duck_total is not None:
         out["duckdb_total_sec"] = duck_total
     print(json.dumps(out))
