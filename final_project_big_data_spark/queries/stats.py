@@ -367,3 +367,84 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.transform(v, lambda x: x * 2.0), 1), 4
         ).alias("first_x2"),
     ).orderBy("vec_id")
+
+
+@query(
+    "q52_explode_outer",
+    oracle="""
+    SELECT vec_id, round(u.v, 4) AS val
+    FROM (SELECT vec_id, CASE WHEN vec_id % 3 = 0 THEN [NULL]
+               ELSE embedding[1:(vec_id % 3)]::DOUBLE[] END AS l
+          FROM embeddings WHERE vec_id < 60) t,
+         UNNEST(t.l) AS u(v)
+    ORDER BY vec_id
+    """,
+    category="array",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """``explode_outer``: rows with empty arrays survive as NULL rows
+    (plain explode drops them — the silent-data-loss hazard in fan-outs).
+    The oracle emulates outer-unnest with a CASE→[NULL] rewrite."""
+    e = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 60)
+    arr = F.slice(
+        F.transform("embedding", lambda x: x.cast("double")),
+        1,
+        (F.col("vec_id") % 3).cast("int"),
+    )
+    return (
+        e.select("vec_id", F.explode_outer(arr).alias("raw"))
+        .select("vec_id", F.round("raw", 4).alias("val"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q53_unpivot",
+    oracle="""
+    SELECT o_orderkey, name, value FROM (
+      SELECT o_orderkey, o_totalprice AS price, CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders WHERE o_orderkey < 1000)
+    UNPIVOT (value FOR name IN (price, cust))
+    ORDER BY o_orderkey, name
+    """,
+    category="reshape",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide→long), the inverse of q44's pivot. Narrow transform,
+    no shuffle — rows out = rows in × #value columns."""
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_custkey").cast("double").alias("cust"),
+        )
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["price", "cust"],
+        variableColumnName="name",
+        valueColumnName="value",
+    ).orderBy("o_orderkey", "name")
+
+
+@query(
+    "q54_try_cast",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INT) AS prio_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit
+    FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey
+    """,
+    category="scalar",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """``try_cast``: malformed input → NULL instead of a job-killing error
+    — the difference between one bad record and a failed 100 TB job."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+    ).orderBy("o_orderkey")

@@ -154,3 +154,34 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         .count()
     )
     assert j.count() == want
+
+
+SHARED_DIALECT = [
+    # oracle SQL strings written in the Spark∩DuckDB common subset — the
+    # same text must run through spark.sql() and match the DataFrame builder
+    "q01_scan_project",
+    "q02_filter_compare",
+    "q03_filter_boolean",
+    "q04_filter_like",
+    "q05_case_when",
+    "q06_join_inner",
+    "q15_hash_aggregate",
+    "q16_distinct",
+    "q26_topk",
+    "q27_sort_multikey",
+    "q38_scalar_subquery",
+]
+
+
+@pytest.mark.parametrize("name", SHARED_DIALECT)
+def test_sql_text_entry_point_parity(spark, sf_dir, name):
+    """The SQL-text entry point (engine.sql) and the DataFrame builder are
+    the same engine: running the query's oracle SQL through spark.sql must
+    produce identical rows to the registry builder."""
+    from final_project_big_data_spark.queries import all_specs
+
+    spec = all_specs()[name]
+    eng = Engine(spark, sf_dir)
+    via_sql = sorted(map(tuple, eng.sql(spec.oracle).collect()))
+    via_df = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+    assert via_sql == via_df
