@@ -179,3 +179,89 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+_N_CENTROIDS = 16
+_N_PROBE = 2  # each query searches its 2 closest inverted lists
+
+
+@query("s03_ivf_ann_topk", oracle=None, category="similarity")
+def s03(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN: coarse quantize → inverted-list equi-join → exact
+    cosine re-rank. The second scale path next to s02's LSH.
+
+    Coarse centroids are a deterministic corpus sample (every (n/16)-th
+    vector by ``vec_id`` order — an untrained quantizer, the IVF analogue of
+    random-pivot selection; swap in seeded MLlib KMeans centers for a trained
+    one without touching the rest of the plan). Assignment is a broadcast
+    nested-loop against the 16-row centroid table followed by a max_by
+    aggregation keyed on ``vec_id`` — one shuffle, map-side combinable.
+    Candidates then come from an equi-join on ``centroid_id`` (nprobe=2 on
+    the query side), so the corpus is never cross-joined: O(n·16) assignment
+    + O(n·k/B·nprobe) candidate scoring, both linear in corpus size and
+    partitionable across any number of executors.
+
+    Verified by recall@k against s01 plus determinism
+    (tests/test_similarity.py); rows-only driver check.
+    """
+    e = widen(load_table(spark, sf, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = e.count()  # tiny job: parquet row-count from footer metadata
+    stride = max(n // _N_CENTROIDS, 1)
+    cents = (
+        e.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < _N_CENTROIDS))
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nc"),
+        )
+    )
+    en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # cosine affinity to every centroid; argmax per vector via max(struct)
+    aff = en.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nv",
+        F.struct(
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("aff"),
+            F.col("centroid_id"),
+        ).alias("ac"),
+    )
+    assigned = aff.groupBy("vec_id").agg(
+        F.max("ac").getField("centroid_id").alias("centroid_id"),
+        F.first("v").alias("v"),
+        F.first("nv").alias("nv"),
+    )
+    # query side: top-nprobe centroids per probe vector
+    wq = W.partitionBy("vec_id").orderBy(F.desc(F.col("ac.aff")), F.asc(F.col("ac.centroid_id")))
+    probes = (
+        aff.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+            F.col("ac.centroid_id").alias("probe_centroid"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        probes.join(
+            assigned,
+            (F.col("probe_centroid") == F.col("centroid_id"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cs"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -25,3 +25,29 @@ def test_lsh_deterministic(spark, sf_dir):
     a = all_specs()["s02_lsh_ann_topk"].builder(spark, sf_dir).collect()
     b = all_specs()["s02_lsh_ann_topk"].builder(spark, sf_dir).collect()
     assert a == b
+
+
+def _recall_vs_exact(spark, sf_dir, name):
+    exact = all_specs()["s01_cosine_topk"].builder(spark, sf_dir).collect()
+    approx = all_specs()[name].builder(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    return hits / sum(len(v) for v in truth.values())
+
+
+def test_ivf_recall_at_k(spark, sf_dir):
+    recall = _recall_vs_exact(spark, sf_dir, "s03_ivf_ann_topk")
+    # nprobe=2 of 16 untrained inverted lists: must beat the ~12.5%
+    # random-list baseline by a wide margin
+    assert recall >= 0.25, f"recall@5 = {recall:.3f}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    a = all_specs()["s03_ivf_ann_topk"].builder(spark, sf_dir).collect()
+    b = all_specs()["s03_ivf_ann_topk"].builder(spark, sf_dir).collect()
+    assert a == b
