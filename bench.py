@@ -41,7 +41,9 @@ EXTRAS = [
     "t05_tfidf",
     "x01_asof_join",
     "x02_interval_join",
+    "x03_global_index",
     "d07_dup_clusters",
+    "s03_ivf_ann_topk",
 ]
 
 

@@ -89,3 +89,30 @@ def x02(spark: SparkSession, sf: str) -> DataFrame:
         .select("purchase_id", "click_id", "user_id")
         .orderBy("purchase_id", "click_id")
     )
+
+
+@query(
+    "x03_global_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                AS BIGINT) AS row_index
+    FROM documents ORDER BY doc_id
+    """,
+    category="indexing",
+)
+def x03(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense 0-based global row index over a total order — zipWithIndex
+    semantics without the single-reducer window (operators/indexing.py:
+    range exchange + per-partition counts + broadcast prefix offsets).
+    The oracle's empty-OVER row_number is exactly the plan this operator
+    exists to avoid at scale.
+    """
+    from final_project_big_data_spark.operators.indexing import with_global_index
+
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return (
+        with_global_index(d, [F.desc("n_chars"), F.asc("doc_id")], "row_index")
+        .select("doc_id", "row_index")
+        .orderBy("doc_id")
+    )
