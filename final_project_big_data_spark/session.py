@@ -83,6 +83,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # honor the advisory size below when coalescing instead of keeping
+        # partition count pinned at max parallelism: small shuffles collapse
+        # to few right-sized tasks (scheduling overhead off the critical
+        # path); large shuffles still fan out because bytes/advisory > cores
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -104,6 +109,19 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if master.startswith("local"):
+        # Single-machine posture: shuffle blocks live in page cache/tmpfs,
+        # so codec CPU is pure overhead — skip it. On a cluster, shuffle
+        # crosses the network: keep the default lz4 (these confs are only
+        # set for local masters, so a cluster submitter inherits defaults).
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+        )
+        if os.path.isdir("/dev/shm"):
+            shm = os.path.join("/dev/shm", f"spark-local-{os.getuid()}")
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
