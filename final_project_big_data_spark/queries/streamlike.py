@@ -92,3 +92,51 @@ def w02(spark: SparkSession, sf: str) -> DataFrame:
 def w03(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
     return sliding_counts(e).orderBy("win_start")
+
+
+@query(
+    "w04_time_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           date_trunc('hour', ts) AS hr,
+           count(*) AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, day, hr), (event_type, day),
+                            (event_type))
+    ORDER BY event_type, day NULLS FIRST, hr NULLS FIRST
+    """,
+    category="window-stream",
+)
+def w04(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass over the raw
+    events produces hour, day, and total aggregates per event type
+    (``groupingSets`` — the continuous-aggregate pattern for time-series
+    marts; each finer level is map-side combinable before the one shuffle).
+
+    At 100 TB: the grouping-set expansion multiplies rows ×3 BEFORE the
+    partial aggregate absorbs them, so shuffled bytes stay O(distinct
+    (type, hr) keys), not O(events). Persist the hour level and derive
+    day/total from it incrementally via foreachBatch for the streaming
+    variant (streaming/pipeline.py).
+    """
+    e = load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+    )
+    return (
+        e.groupingSets(
+            [["event_type", "day", "hr"], ["event_type", "day"], ["event_type"]],
+            "event_type",
+            "day",
+            "hr",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type", F.asc_nulls_first("day"), F.asc_nulls_first("hr"))
+    )
