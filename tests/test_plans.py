@@ -99,3 +99,41 @@ def test_salted_join_equivalence_and_distribution(spark, sf_dir):
         j._jdf.queryExecution(), "formatted"
     )
     assert "__salt" in p, p
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """A selective filter on one side of a fact⋈fact shuffle join should be
+    convertible into a runtime bloom filter on the other side — at 100 TB
+    this prunes the probe-side shuffle before it happens. Thresholds are
+    lowered because the fixture is tiny; the rewrite itself is what's
+    pinned."""
+    from final_project_big_data_spark.io import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower()
+        # the rewrite must not change results
+        expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert j.count() == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
