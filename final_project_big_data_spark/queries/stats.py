@@ -448,3 +448,74 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").try_cast("int").alias("prio_int"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q55_gap_fill",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS cnt, round(avg(value), 4) AS avg_value
+      FROM events WHERE value > 300 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                         INTERVAL 1 DAY)) AS DATE) AS day,
+             et.event_type
+      FROM bounds, (SELECT DISTINCT event_type FROM events) et
+    )
+    SELECT s.day, s.event_type,
+           coalesce(d.cnt, 0) AS cnt,
+           last_value(d.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day) AS filled_avg
+    FROM spine s LEFT JOIN d USING (day, event_type)
+    ORDER BY event_type, day
+    """,
+    category="timeseries",
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-spine gap fill: dense (day, event_type) grid via ``sequence`` +
+    ``explode`` from a broadcast 1-row bounds aggregate, zero-filled counts,
+    forward-filled averages (``last(ignorenulls)`` running window).
+
+    Scale: the spine is #days × #types rows built from a broadcast scalar —
+    never a driver loop; the left join shuffles on (day, type) like any agg;
+    the ffill window partitions by type (bounded state per key).
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf, "events")
+    d = (
+        # the >300 predicate makes the (day, type) grid genuinely sparse in
+        # the fixtures, so the zero-fill and ffill paths do real work
+        e.filter(F.col("value") > 300)
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    return (
+        spine.join(d, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+        .orderBy("event_type", "day")
+    )
