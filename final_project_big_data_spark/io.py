@@ -99,6 +99,39 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+_CORRUPT = "_corrupt_record"
+
+
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema_name: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines scan that splits clean rows from malformed ones instead of
+    failing the job: PERMISSIVE parse with ``_corrupt_record`` capture →
+    (good, quarantine) pair.
+
+    At 100 TB one bad record must not kill the job (FAILFAST) or silently
+    vanish (DROPMALFORMED): the quarantine side keeps the raw line for
+    replay/debugging. Spark refuses to filter on the corrupt column straight
+    off a raw scan (SPARK-2115x guard), so the parsed frame is cached — both
+    outputs then come from one materialized scan; callers ``.unpersist()``
+    it via either returned frame when done.
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        TABLE_SCHEMAS[schema_name].fields + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    parsed = spark.read.json(
+        path,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=_CORRUPT,
+    ).cache()
+    good = parsed.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    bad = parsed.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
+    return good, bad
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
 

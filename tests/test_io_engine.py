@@ -185,3 +185,24 @@ def test_sql_text_entry_point_parity(spark, sf_dir, name):
     via_sql = sorted(map(tuple, eng.sql(spec.oracle).collect()))
     via_df = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
     assert via_sql == via_df
+
+
+def test_json_quarantine_splits_bad_records(spark, sf_dir, tmp_path):
+    """Malformed JSON lines land in the quarantine frame with the raw text;
+    clean rows parse against the declared schema; nothing is dropped."""
+    good_rows = (
+        eio.load_table(spark, sf_dir, "nation")
+        .select(F.to_json(F.struct("*")).alias("line"))
+        .collect()
+    )
+    src = tmp_path / "mixed.jsonl"
+    lines = [r.line for r in good_rows]
+    bad_lines = ['{"n_nationkey": 999, "n_name": unquoted}', "not json at all"]
+    lines = lines[:10] + [bad_lines[0]] + lines[10:] + [bad_lines[1]]
+    src.write_text("\n".join(lines) + "\n")
+
+    good, bad = eio.read_json_quarantine(spark, str(src), "nation")
+    assert good.count() == len(good_rows)
+    assert good.schema == eio.load_table(spark, sf_dir, "nation").schema
+    captured = sorted(r._corrupt_record for r in bad.collect())
+    assert captured == sorted(bad_lines)
