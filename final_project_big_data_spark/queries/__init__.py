@@ -42,6 +42,7 @@ def all_specs() -> dict[str, QuerySpec]:
         approx,
         asofq,
         dedup,
+        extras,
         mlq,
         mmq,
         relational,

@@ -1,0 +1,267 @@
+"""Second completeness batch beyond SURVEY §2.4's letter queries:
+median/deterministic-mode, sequence fan-out, cryptographic hash functions,
+windowed distinct counts, grouping-indicator rollups, bitwise operators and
+width-bucket histograms. Same Tier-A conventions as ``stats.py``: total
+ORDER BY with unique tiebreak, ROUND(·,4) on floating aggregates, matching
+column names on both sides of the oracle.
+
+The reference exercises none of these (SURVEY §2.1 — its scalar-function
+surface is to_json/from_json/struct/cast/alias only,
+``tasks/scripts/predict.py:30-44``); they are part of the generalized
+analytics contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.queries import query
+
+
+@query(
+    "q56_median_mode",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag,
+             ROUND(median(l_quantity), 4) AS med_qty,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    cnt AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    md AS (
+      SELECT l_returnflag, l_linestatus AS mode_status
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY l_returnflag ORDER BY c DESC, l_linestatus) AS rn
+            FROM cnt)
+      WHERE rn = 1
+    )
+    SELECT m.l_returnflag, med_qty, med_price, mode_status
+    FROM med m JOIN md USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+    category="aggregate",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median (interpolated 50th percentile) plus a *deterministic*
+    mode per group.
+
+    Spark's ``mode()`` and DuckDB's ``mode()`` break frequency ties
+    arbitrarily, so the mode here is declared as count-desc /
+    value-asc — a groupBy count plus a row_number pick, identical
+    semantics in both engines. Median is a full-sort-per-group aggregate;
+    Spark computes it with a single shuffle on the group key (no global
+    sort), which holds at scale because group count, not row count, bounds
+    the reduce side.
+    """
+    li = load_table(spark, sf, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("med_price"),
+    )
+    cnt = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("c"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_linestatus"))
+    mode = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"))
+    )
+    return med.join(mode, "l_returnflag").orderBy("l_returnflag")
+
+
+@query(
+    "q57_sequence_fanout",
+    oracle="""
+    SELECT o_orderkey, val, val * o_orderkey AS scaled
+    FROM (SELECT o_orderkey,
+                 unnest(range(1, o_orderkey % 3 + 2)) AS val
+          FROM orders WHERE o_orderkey < 300)
+    ORDER BY o_orderkey, val
+    """,
+    category="array",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Generator fan-out: ``sequence`` + ``explode`` producing 1–3 rows per
+    order (DuckDB ``range`` + ``UNNEST``). The explode is row-local (no
+    shuffle); output cardinality is bounded by 3× input, so the only
+    scale consideration is downstream partition sizing, which AQE handles.
+    """
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 300)
+    seq = F.sequence(
+        F.lit(1).cast("long"), (F.col("o_orderkey") % 3 + 1).cast("long")
+    )
+    return (
+        o.select("o_orderkey", F.explode(seq).alias("val"))
+        .withColumn("scaled", F.col("val") * F.col("o_orderkey"))
+        .orderBy("o_orderkey", "val")
+    )
+
+
+@query(
+    "q58_hash_fns",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS md5_hex,
+           sha256(p_name) AS sha256_hex,
+           CAST(length(md5(p_name)) AS INT) AS md5_len
+    FROM part WHERE p_partkey < 400 ORDER BY p_partkey
+    """,
+    category="scalar",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Cryptographic digests as deterministic row fingerprints (md5 +
+    sha256 lowercase hex — identical canonical output in both engines).
+    These are the content-hash primitives the exact-dedup operators
+    (``dedup.py``) build on; fully codegen'd JVM-side, no UDF.
+    """
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") < 400)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("md5_hex"),
+        F.sha2("p_name", 256).alias("sha256_hex"),
+        F.length(F.md5("p_name")).alias("md5_len"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q59_windowed_count_distinct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, d.distinct_supps
+    FROM lineitem
+    JOIN (SELECT l_returnflag,
+                 CAST(count(DISTINCT l_suppkey) AS INT) AS distinct_supps
+          FROM lineitem GROUP BY 1) d USING (l_returnflag)
+    WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    category="window",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct count over an unbounded window — Spark disallows
+    ``COUNT(DISTINCT)`` in window frames, so the declared surface is
+    ``size(collect_set(x) OVER w)``; the oracle uses the equivalent
+    aggregate-then-join rewrite.
+
+    Scale note: per-partition state is the distinct-key set, bounded by
+    |supplier| (a dimension), not by lineitem row count — acceptable. For
+    distinct counts over high-cardinality keys the aggregate+broadcast-join
+    rewrite (the oracle's shape) or HLL sketches (a01) are the scale path.
+    """
+    li = load_table(spark, sf, "lineitem")
+    w = W.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("distinct_supps"),
+        )
+        .filter(F.col("l_orderkey") < 500)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q60_grouping_ids",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+             o_orderpriority NULLS FIRST
+    """,
+    category="aggregate",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP with ``GROUPING()`` indicator columns — the standard way to
+    distinguish subtotal NULLs from genuine NULL group values (q19 covers
+    the bare rollup). Same single-shuffle expanded-aggregate plan as q19.
+    """
+    o = load_table(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .orderBy(
+            "g_status",
+            "g_prio",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q61_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 16 AS b_or,
+           xor(o_orderkey, 21) AS b_xor,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr
+    FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey
+    """,
+    category="scalar",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise operator surface (&, |, xor, shifts) — the primitives the
+    SimHash/LSH band operators use for bucket manipulation
+    (``similarity.py``, ``dedup.py``). Pure codegen'd projections.
+    """
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 600)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(16)).alias("b_or"),
+        k.bitwiseXOR(F.lit(21)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q62_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice >= 600000 THEN 21
+                     WHEN o_totalprice < 0 THEN 0
+                     ELSE CAST(FLOOR(o_totalprice / 30000) AS INT) + 1
+                END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(o_totalprice), 4) AS lo,
+           ROUND(max(o_totalprice), 4) AS hi
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+    category="aggregate",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` (20 buckets over
+    [0, 600000); DuckDB lacks width_bucket, so the oracle spells out the
+    same floor arithmetic). One map-side-combinable aggregation — the
+    classic distributed-histogram shape: constant-size partials per
+    partition regardless of data volume.
+    """
+    o = load_table(spark, sf, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20)
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
