@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.io import load_table, table_path
 from final_project_big_data_spark.queries import query
 
 
@@ -264,4 +264,76 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "q63_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS price
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+    WHERE c.c_custkey < 100
+    ORDER BY c.c_custkey, price DESC, o.o_orderkey
+    """,
+    category="join",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-customer top-2 orders expressed as
+    a dependent join, the SQL-standard alternative to the window-rank
+    rewrite (q22). Catalyst decorrelates it into a ranked join
+    (DomainJoin → window + filter), so the physical plan is the same
+    single-shuffle shape as the explicit window form — no per-row
+    re-execution at any scale.
+    """
+    c = table_path(sf, "customer")
+    o = table_path(sf, "orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS price
+        FROM parquet.`{c}` c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM parquet.`{o}`
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 100
+        ORDER BY c.c_custkey, price DESC, o.o_orderkey
+        """
+    )
+
+
+@query(
+    "q64_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey < 60
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="aggregate",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (STRING_AGG / LISTAGG semantics).
+
+    Declared deterministically as sort-then-join: Spark's collect_list
+    order is partition-dependent, so the engine sorts the collected array
+    before joining — same result as DuckDB's ``ORDER BY`` inside
+    string_agg. Group payload is bounded by group size; for unbounded
+    groups the scale path is capping with ``slice`` after sort.
+    """
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 60)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "names"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
     )
