@@ -137,3 +137,26 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """q63's correlated LATERAL must not execute per outer row: Catalyst
+    rewrites it to a ranked join with WindowGroupLimit (map-side partial
+    top-k before the shuffle) and infers the outer filter onto the inner
+    side. A BroadcastNestedLoopJoin/CartesianProduct here would be a per-row
+    re-execution plan — unusable at scale."""
+    p = plan(spark, "q63_lateral_topk", sf_dir)
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_curation_single_shuffle(spark, sf_dir):
+    """p01's only exchange is the fingerprint-dedup hash shuffle — scoring,
+    language-ID and the quality filter all stay in the scan stage."""
+    p = plan(spark, "p01_corpus_curation", sf_dir)
+    # one hash exchange (dedup window) + one range exchange (final ORDER BY)
+    assert p.count("hashpartitioning(") == 1, p
+    assert p.count("rangepartitioning(") == 1, p
+    # quality filter evaluated in the scan stage, before any exchange
+    assert p.index("Scan parquet") < p.index("hashpartitioning("), p
