@@ -61,13 +61,15 @@ def _oracle() -> str:
     """
 
 
-@query("p01_corpus_curation", oracle=_oracle(), category="pipeline")
-def p01(spark: SparkSession, sf: str) -> DataFrame:
-    """Curate `documents`: quality floor → language tag → exact-normalized
-    dedup (keep lowest doc_id per fingerprint). The composite the judge can
-    run as one unit; the constituent operators are t02/t03/t04/d01.
+def score_docs(d: DataFrame) -> DataFrame:
+    """Stateless per-document scoring: quality heuristic, token count,
+    normalized fingerprint, language argmax, quality-floor filter.
+
+    Pure ``DataFrame -> DataFrame`` (map-only, no shuffle) so it runs
+    identically on a batch frame and a streaming frame — the streaming
+    curation path (``streaming/pipeline.py``) composes this with a
+    stateful ``dropDuplicates``; the batch path (p01) with a window min.
     """
-    d = load_table(spark, sf, "documents")
     words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     stops = F.regexp_count(F.col("text"), F.lit(_STOPWORDS))
     quality = F.round(
@@ -90,10 +92,23 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
     for lang in langs:
         cond = F.col(f"score_{lang}") == best
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
-    rn = F.row_number().over(W.partitionBy("fp_norm").orderBy("doc_id"))
     return (
         scored.filter(F.col("quality") >= _QUALITY_FLOOR)
         .withColumn("pred_lang", pred)
+        .select("doc_id", "pred_lang", "quality", "n_tokens", "fp_norm")
+    )
+
+
+@query("p01_corpus_curation", oracle=_oracle(), category="pipeline")
+def p01(spark: SparkSession, sf: str) -> DataFrame:
+    """Curate `documents`: quality floor → language tag → exact-normalized
+    dedup (keep lowest doc_id per fingerprint). The composite the judge can
+    run as one unit; the constituent operators are t02/t03/t04/d01.
+    """
+    d = load_table(spark, sf, "documents")
+    rn = F.row_number().over(W.partitionBy("fp_norm").orderBy("doc_id"))
+    return (
+        score_docs(d)
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("doc_id", "pred_lang", "quality", "n_tokens")

@@ -326,3 +326,64 @@ def run_foreach_batch(stream_df: DataFrame, sink_path: str,
         .start()
     )
     q.awaitTermination()
+
+
+# ----------------------------------------------- streaming corpus curation
+
+
+def replay_docs(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_batches: int = 5
+) -> str:
+    """Write `documents` as doc_id-ordered part-files for stream replay.
+
+    Ordered by doc_id so first-arrival == lowest doc_id: the streaming
+    dedup (keep-first) then computes exactly the batch window-min dedup
+    (p01), making the batch pipeline the oracle for the stream.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_b", F.ntile(n_batches).over(W.orderBy("doc_id"))
+    )
+    for i in range(n_batches):
+        (
+            docs.filter(F.col("_b") == i + 1)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_{i}"))
+        )
+    return out_dir
+
+
+def doc_file_stream(
+    spark: SparkSession, replay_path: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming source over a `documents` replay dir."""
+    from final_project_big_data_spark.schemas import DOCUMENTS
+
+    return (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_path)
+    )
+
+
+def curate_docs(df: DataFrame) -> DataFrame:
+    """Streaming corpus curation: stateless scoring (quality + lang-ID +
+    fingerprint, `queries/curation.score_docs`) then stateful streaming
+    dedup on the normalized fingerprint (keep first arrival).
+
+    State grows with distinct fingerprints; in production the stream is
+    watermarked on an ingest-time column so fingerprint state ages out
+    (same pattern as ``dedup_stream``). Batch equivalence: with doc_id-
+    ordered replay this equals p01_corpus_curation minus the final sort.
+    """
+    from final_project_big_data_spark.queries.curation import score_docs
+
+    return (
+        score_docs(df)
+        .dropDuplicates(["fp_norm"])
+        .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )

@@ -288,3 +288,16 @@ def test_kafka_wiring_builds_without_broker(spark, sf_dir):
     batch = load_table(spark, sf_dir, "events").limit(5)
     bw = K.kafka_batch_writer(P.encode_json(batch), "broker:9092", "t")
     assert w is not None and bw is not None
+
+
+def test_streaming_corpus_curation_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Stream curation (stateless score + stateful dedup) == batch p01."""
+    from final_project_big_data_spark.queries.curation import p01
+
+    base = str(tmp_path_factory.mktemp("docs_replay"))
+    P.replay_docs(spark, sf_dir, base)
+    stream = P.curate_docs(P.doc_file_stream(spark, base))
+    P.run_to_memory(stream, "curate_out")
+    got = _rows(spark.table("curate_out"), "doc_id", "pred_lang", "quality", "n_tokens")
+    want = _rows(p01(spark, sf_dir), "doc_id", "pred_lang", "quality", "n_tokens")
+    assert len(got) > 0 and got == want
