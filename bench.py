@@ -44,6 +44,7 @@ EXTRAS = [
     "x03_global_index",
     "d07_dup_clusters",
     "s03_ivf_ann_topk",
+    "p01_corpus_curation",
 ]
 
 
