@@ -150,3 +150,53 @@ def a04(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "complete boolean, disjoint boolean, ratio_ok boolean",
     )
+
+
+@query(
+    "a05_hll_sketch_union",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+           TRUE AS union_within_5pct, TRUE AS groups_within_5pct
+    FROM orders
+    """,
+    category="approx",
+)
+def a05(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches ``hll_sketch_agg`` /
+    ``hll_union_agg`` / ``hll_sketch_estimate``) — the re-aggregatable
+    distinct-count path: build one sketch per group, union the binary
+    sketches into a global estimate without touching raw keys again.
+
+    At 100 TB this is the rollup pattern: per-partition/per-day sketches
+    persist as small binaries; any coarser NDV (week, month, global) is a
+    sketch union — no second scan, no key shuffle. Acceptance: the unioned
+    estimate and every per-group estimate within 5% of exact; the exact
+    global NDV itself is hash-matched against DuckDB.
+    """
+    o = load_table(spark, sf, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey", 14).alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_g"),
+    )
+    groups_ok = per_group.select(
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_g"))
+            <= 0.05 * F.col("exact_g")
+        ).alias("ok")
+    ).agg(F.every("ok").alias("groups_within_5pct"))
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"), True)).alias("union_ndv")
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_ndv"))
+    return (
+        exact.crossJoin(merged)
+        .crossJoin(groups_ok)
+        .select(
+            "exact_ndv",
+            (
+                F.abs(F.col("union_ndv") - F.col("exact_ndv"))
+                <= 0.05 * F.col("exact_ndv")
+            ).alias("union_within_5pct"),
+            "groups_within_5pct",
+        )
+    )
