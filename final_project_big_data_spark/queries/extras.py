@@ -337,3 +337,66 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q65_decimal_agg",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category="aggregate",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact DECIMAL aggregation — no floating accumulation-order drift, so
+    the sums hash-match DuckDB digit-for-digit with NO rounding wrapper
+    (every double-typed Tier-A aggregate needs ROUND(·,4); decimals don't).
+    Spark widens sum(DECIMAL(18,4)) to DECIMAL(28,4) and computes partial
+    sums in unscaled longs inside codegen — same map-side-combine shape as
+    any hash aggregate, exactness is free.
+    """
+    li = load_table(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("sum_price"),
+            F.sum(price * disc).alias("sum_disc_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q66_ts_epoch_format",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(ts, '%Y-%m-%d %H:%M') AS fmt_minute,
+           CAST(date_part('dow', ts) AS INT) AS dow,
+           CAST(date_part('doy', ts) AS INT) AS doy
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+    category="datetime",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch conversion + timestamp formatting + day-of-week/year (q32's
+    family completed). Semantics pinned UTC both sides; Spark
+    ``unix_timestamp`` truncates sub-second (DuckDB oracle floors to
+    match), and Spark's ``dayofweek`` is 1=Sunday vs DuckDB ``dow``
+    0=Sunday — mapped with -1. Map-only expressions.
+    """
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("fmt_minute"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+    ).orderBy("event_id")
