@@ -400,3 +400,82 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
         (F.dayofweek("ts") - 1).alias("dow"),
         F.dayofyear("ts").alias("doy"),
     ).orderBy("event_id")
+
+
+@query(
+    "q67_null_safe_join",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey
+    FROM (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS k
+          FROM supplier WHERE s_suppkey < 40) s
+    JOIN (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k
+          FROM customer WHERE c_custkey < 40) c
+      ON s.k IS NOT DISTINCT FROM c.k
+    ORDER BY s_suppkey, c_custkey
+    """,
+    category="join",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of disappearing, unlike q06's plain equality.
+    Spark plans ``eqNullSafe`` as a HASH join key (null hashes to a
+    bucket like any value) — same shuffle/broadcast shapes as a normal
+    equi join, NOT a nested loop; NULL-heavy keys behave like any other
+    hot key and fall under AQE skew handling.
+    """
+    s = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") < 40)
+        .select(
+            "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("k")
+        )
+    )
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 40)
+        .select(
+            "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k")
+        )
+    )
+    return (
+        s.join(c, s.k.eqNullSafe(c.k))
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+@query(
+    "q68_window_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           last_value(nullif(o_orderstatus, 'P') IGNORE NULLS) OVER w
+             AS last_known_status,
+           first_value(nullif(o_orderstatus, 'P') IGNORE NULLS) OVER w
+             AS first_known_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    category="window",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """IGNORE NULLS window navigation — the forward-fill primitive
+    (q55's gap-fill uses the same shape over a time spine): last non-NULL
+    status seen so far per customer. Running frame, single hash shuffle
+    on the partition key.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.last(status, ignorenulls=True).over(w).alias("last_known_status"),
+        F.first(status, ignorenulls=True).over(w).alias("first_known_status"),
+    ).orderBy("o_orderkey")
