@@ -78,10 +78,14 @@ def main() -> None:
 
     extras: dict[str, float] = {}
     for name in EXTRAS:
-        df = specs[name].builder(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        extras[name] = round(time.perf_counter() - t0, 3)
+        # min of 2: drop the one-time codegen compile, like HEADLINE
+        best = float("inf")
+        for _ in range(2):
+            df = specs[name].builder(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        extras[name] = round(best, 3)
 
     duck_total = None
     try:
