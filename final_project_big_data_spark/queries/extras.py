@@ -479,3 +479,32 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         F.last(status, ignorenulls=True).over(w).alias("last_known_status"),
         F.first(status, ignorenulls=True).over(w).alias("first_known_status"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q69_variant_type",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k,
+           CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) AS k_decile,
+           props->>'$.missing' IS NULL AS missing_is_null
+    FROM events WHERE event_id < 3000 ORDER BY event_id
+    """,
+    category="json",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` into a binary variant column,
+    typed ``variant_get`` path extraction (q37's string-JSON surface on
+    the modern encoding). Variant parses once per row and each get is an
+    O(1) binary probe — at scale this replaces re-parsing the JSON string
+    per extracted field; absent paths yield NULL, not errors.
+    """
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 3000)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.floor(k / 10).cast("int").alias("k_decile"),
+        F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
+    ).orderBy("event_id")
