@@ -200,3 +200,36 @@ def a05(spark: SparkSession, sf: str) -> DataFrame:
             "groups_within_5pct",
         )
     )
+
+
+@query(
+    "a06_freq_items",
+    oracle="""
+    SELECT o_orderpriority AS top_priority, TRUE AS top_in_freq_items
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY count(*) DESC, o_orderpriority LIMIT 1
+    """,
+    category="approx",
+)
+def a06(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters: ``df.stat.freqItems`` (Karp/misra-gries style
+    single-pass sketch, support=0.15) must contain the true modal value.
+
+    The exact top priority is hash-matched against DuckDB; the sketch
+    membership is the acceptance bit. At scale the sketch is one pass with
+    fixed per-partition state (1/support counters) and a tiny merge — vs
+    the exact path's full group-count shuffle.
+    """
+    o = load_table(spark, sf, "orders")
+    top = (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_orderpriority"))
+        .select("o_orderpriority")
+        .first()[0]
+    )
+    freq = o.stat.freqItems(["o_orderpriority"], 0.15).first()[0]
+    return spark.createDataFrame(
+        [(top, top in set(freq))],
+        "top_priority string, top_in_freq_items boolean",
+    )
