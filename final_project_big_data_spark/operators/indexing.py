@@ -13,9 +13,12 @@ This operator composes the scalable two-pass idiom from built-in ops:
    global ``orderBy`` performs — partition *p* holds keys strictly below
    partition *p+1*);
 2. a tiny side job counts rows per physical partition (groupBy on
-   ``spark_partition_id()`` — #partitions rows, not data rows);
-3. a broadcast join maps each partition to its exclusive prefix-sum
-   offset, and a window partitioned BY PARTITION ID adds the local rank.
+   ``spark_partition_id()`` — #partitions rows, not data rows), folded
+   into exclusive prefix-sum offsets with a higher-order ``aggregate``
+   over one collected array (no unpartitioned window anywhere — even a
+   #partitions-row WindowExec logs the single-partition warning);
+3. a broadcast join maps each partition to its offset, and a window
+   partitioned BY PARTITION ID adds the local rank.
 
 No single-task stage ever sees more than one partition of data; the only
 full-data movements are the range exchange (pass 1) and the hash exchange
@@ -51,12 +54,25 @@ def with_global_index(
     tagged = ranged.withColumn(_PID, F.spark_partition_id())
 
     counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
-    w_off = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.select(
-        _PID, F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias(_OFFSET)
+    # #partitions integers → one row → exclusive prefix sum via a
+    # higher-order aggregate (pid-sorted), exploded back to (pid, offset).
+    packed = counts.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(_PID).alias("pid"), F.col("_n").alias("n")))
+        ).alias("cs")
     )
-    # offsets is #partitions rows: the window above runs on one task over
-    # a handful of integers, and the join below broadcasts them.
+    prefix = F.expr(
+        "aggregate(cs,"
+        " struct(cast(0 as bigint) as acc,"
+        "        cast(array() as array<struct<pid:int, off:bigint>>) as out),"
+        " (st, x) -> struct(st.acc + x.n as acc,"
+        "                   concat(st.out, array(struct(x.pid as pid,"
+        "                                               st.acc as off))) as out),"
+        " st -> st.out)"
+    )
+    offsets = packed.select(F.explode(prefix).alias("po")).select(
+        F.col("po.pid").alias(_PID), F.col("po.off").alias(_OFFSET)
+    )
     w_local = W.partitionBy(_PID).orderBy(*order_cols)
     return (
         tagged.join(F.broadcast(offsets), _PID)

@@ -607,12 +607,40 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
     category="window",
 )
 def q25(spark: SparkSession, sf: str) -> DataFrame:
-    # Global (unpartitioned) window: fine for the customer dim; at 100 TB a
-    # global ntile would instead be approxQuantile bucketing (see C02).
-    w = W.orderBy("c_acctbal", "c_custkey")
+    """Exact global ntile(4) with NO global window.
+
+    A bare ``ntile(4) OVER (ORDER BY ...)`` collapses the table into one
+    WindowExec task — the single-reducer cliff at scale. Instead: the
+    two-pass global-index idiom (range exchange + per-partition offsets,
+    ``operators/indexing.py``) yields the exact 0-based rank ``r`` fully
+    distributed, and ntile's bucket is closed-form in (r, n): the first
+    ``n mod 4`` buckets hold ``n div 4 + 1`` rows, the rest ``n div 4``.
+    The 1-row count aggregate broadcasts; everything else is map-only.
+    """
+    from final_project_big_data_spark.operators.indexing import with_global_index
+
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    idx = with_global_index(c, ["c_acctbal", "c_custkey"], index_col="r")
+    n1 = c.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     return (
-        load_table(spark, sf, "customer")
-        .select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+        idx.crossJoin(F.broadcast(n1))
+        .withColumn("_base", F.expr("_n div 4"))
+        .withColumn("_rem", F.col("_n") % 4)
+        .withColumn(
+            "quartile",
+            (
+                F.when(
+                    F.col("r") < F.col("_rem") * (F.col("_base") + 1),
+                    F.expr("r div (_base + 1)"),
+                ).otherwise(
+                    # greatest() guards ANSI div-by-zero when n < 4 (branch
+                    # unreachable then: every rank falls in the big buckets)
+                    F.expr("_rem + (r - _rem * (_base + 1)) div greatest(_base, 1)")
+                )
+                + 1
+            ).cast("int"),
+        )
+        .select("c_custkey", "quartile")
         .orderBy("c_custkey")
     )
 
