@@ -147,6 +147,48 @@ def d02(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MAX_LSH_BUCKET = 1024  # degenerate-band guard; fixture buckets are ≤ ~50
+
+
+def lsh_candidate_pairs(
+    mh: DataFrame, band_col: str, max_bucket: int = MAX_LSH_BUCKET
+) -> DataFrame:
+    """Banded candidate-pair expansion with a degenerate-bucket cap.
+
+    Deliberately NOT a self-join: a self-join evaluates the signature
+    subplan twice (Spark can't reuse it across a broadcast and a stream
+    side). Signatures shuffle ONCE on the band key; a band-partitioned
+    window counts each bucket, rows in buckets outside [2, max_bucket]
+    are dropped, and only then does ``collect_list`` materialize a
+    bucket's ids — so a pathological band (a boilerplate shingle shared
+    by millions of docs) never builds a giant array or an O(bucket²)
+    expansion in one task. The groupBy after the window reuses the same
+    hash partitioning: still exactly one exchange. A bucket over the cap
+    is a degenerate band, not a dup cluster — dropping it loses no real
+    candidates (those pairs recur in other bands; add bands for recall).
+    """
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy(band_col)
+    kept = mh.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
+        (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)
+    )
+    buckets = kept.groupBy(band_col).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(
+            F.col(band_col).alias("band_key"), F.explode(pair_expr).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "band_key")
+    )
+
+
 @query(
     "d03_minhash_lsh_pairs",
     oracle=_MINHASH_SQL
@@ -160,31 +202,13 @@ def d02(spark: SparkSession, sf: str) -> DataFrame:
 def d03(spark: SparkSession, sf: str) -> DataFrame:
     """LSH banding: group signatures by band key, emit pairs per bucket.
 
-    Deliberately NOT a self-join: a self-join evaluates the whole
-    shingle→md5→minhash pipeline twice (Spark can't reuse a subplan across
-    a broadcast and a stream side). Here signatures are computed once,
-    shuffled once on the band key (8-byte rows), and pairs are generated
-    inside each bucket with an array comprehension — candidate generation
-    is O(pairs-in-bucket), never O(n²). At scale, cap bucket size (drop or
-    sub-sample buckets over ~10⁴ docs: a bucket that large is a degenerate
-    band, not a dup cluster) and add bands for recall.
+    Candidate generation is O(pairs-in-bucket), never O(n²), and buckets
+    above ``MAX_LSH_BUCKET`` are dropped before any array materializes
+    (see ``lsh_candidate_pairs``). The cap sits far above every fixture
+    bucket, so the oracle (which has no cap) is unchanged.
     """
     mh = _shingled(spark, sf).groupBy("doc_id").agg(*_minhash_exprs())
-    buckets = (
-        mh.groupBy("mh0")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids) - i - 1),"
-        " y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    return (
-        buckets.select(F.col("mh0").alias("band_key"), F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "band_key")
-        .orderBy("doc_a", "doc_b")
-    )
+    return lsh_candidate_pairs(mh, "mh0").orderBy("doc_a", "doc_b")
 
 
 _SIMHASH_BITS = 32

@@ -90,3 +90,21 @@ def test_simhash_near_dups_close(spark, planted_dir):
         orig, mut = sims[i], sims[i + 2 * ID_OFFSET]
         hamming = bin(orig ^ mut).count("1")
         assert hamming <= 8, f"doc {i}: hamming {hamming}"
+
+
+def test_lsh_degenerate_bucket_cap(spark):
+    """A band bucket above max_bucket is dropped BEFORE pair expansion;
+    normal buckets are unaffected (d03's cap sits above fixture sizes)."""
+    from final_project_big_data_spark.queries.dedup import lsh_candidate_pairs
+
+    rows = [(i, 7) for i in range(10)]  # degenerate band: 10 docs
+    rows += [(100, 9), (101, 9)]  # normal band: one pair
+    rows += [(200, 11)]  # singleton band: no pair
+    mh = spark.createDataFrame(rows, "doc_id long, band long")
+
+    pairs = lsh_candidate_pairs(mh, "band", max_bucket=5).collect()
+    assert {(r.doc_a, r.doc_b, r.band_key) for r in pairs} == {(100, 101, 9)}
+
+    # cap above the planted bucket: all 45+1 pairs come back
+    full = lsh_candidate_pairs(mh, "band", max_bucket=1024).collect()
+    assert len(full) == 45 + 1
