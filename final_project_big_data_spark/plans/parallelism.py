@@ -18,8 +18,22 @@ from pyspark.sql import DataFrame
 
 def widen(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to default parallelism iff the plan is
-    currently narrower. No-op (returns ``df``) when already wide enough."""
+    currently narrower. No-op (returns ``df``) when already wide enough.
+
+    On a non-local master this returns ``df`` untouched without ANY plan
+    inspection: a cluster scan of real data already yields many splits,
+    and the ``df.rdd`` narrowness probe would force physical planning at
+    build time for a rewrite that is a no-op there anyway. The probe runs
+    only under ``local[...]`` (bare-scan planning, cheap, no job), where
+    single-file fixtures genuinely collapse to one task. Override with
+    ``spark.finalproject.widen=off|force``.
+    """
     spark = df.sparkSession
+    mode = str(spark.conf.get("spark.finalproject.widen", "auto"))
+    if mode == "off":
+        return df
+    if mode == "auto" and not spark.sparkContext.master.startswith("local"):
+        return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

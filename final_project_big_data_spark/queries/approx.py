@@ -212,24 +212,31 @@ def a05(spark: SparkSession, sf: str) -> DataFrame:
     category="approx",
 )
 def a06(spark: SparkSession, sf: str) -> DataFrame:
-    """Heavy hitters: ``df.stat.freqItems`` (Karp/misra-gries style
+    """Heavy hitters: ``df.stat.freqItems`` (Karp/Misra-Gries style
     single-pass sketch, support=0.15) must contain the true modal value.
 
     The exact top priority is hash-matched against DuckDB; the sketch
     membership is the acceptance bit. At scale the sketch is one pass with
     fixed per-partition state (1/support counters) and a tiny merge — vs
     the exact path's full group-count shuffle.
+
+    Fully lazy: ``freqItems`` returns a (1-row) DataFrame, so both sides
+    join as subplans — no driver-side ``first()`` at build time.
     """
     o = load_table(spark, sf, "orders")
     top = (
         o.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("o_orderpriority"))
-        .select("o_orderpriority")
-        .first()[0]
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("top_priority"))
     )
-    freq = o.stat.freqItems(["o_orderpriority"], 0.15).first()[0]
-    return spark.createDataFrame(
-        [(top, top in set(freq))],
-        "top_priority string, top_in_freq_items boolean",
+    freq = o.stat.freqItems(["o_orderpriority"], 0.15).select(
+        F.col("o_orderpriority_freqItems").alias("fi")
+    )
+    return top.crossJoin(freq).select(
+        "top_priority",
+        F.array_contains(F.col("fi"), F.col("top_priority")).alias(
+            "top_in_freq_items"
+        ),
     )

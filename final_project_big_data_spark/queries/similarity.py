@@ -183,6 +183,44 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
 
 _N_CENTROIDS = 16
 _N_PROBE = 2  # each query searches its 2 closest inverted lists
+_DIM = 64
+
+
+def _lloyd_refine(en: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd (k-means) pass, expressed lazily in DataFrame ops.
+
+    Assign every vector to its max-cosine centroid (broadcast join +
+    map-side-combinable argmax agg), then recompute each centroid as the
+    element-wise mean of its members — 64 ``avg`` aggregates in ONE hash
+    aggregate, no explode. Centroid ids are the init rows' vec_ids (dense
+    ids are never needed — it's only a join key). A centroid that loses
+    every member simply drops out.
+    """
+    assigned = (
+        en.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            F.struct(
+                (_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias(
+                    "aff"
+                ),
+                F.col("centroid_id"),
+            ).alias("ac"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("ac").getField("centroid_id").alias("centroid_id"),
+            F.first("v").alias("v"),
+        )
+    )
+    means = assigned.groupBy("centroid_id").agg(
+        *[F.avg(F.col("v")[i]).alias(f"_c{i}") for i in range(_DIM)]
+    )
+    return means.select(
+        "centroid_id",
+        F.array(*[F.col(f"_c{i}") for i in range(_DIM)]).alias("cv"),
+    ).withColumn("nc", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
 
 
 @query("s03_ivf_ann_topk", oracle=None, category="similarity")
@@ -190,35 +228,39 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-bucketed ANN: coarse quantize → inverted-list equi-join → exact
     cosine re-rank. The second scale path next to s02's LSH.
 
-    Coarse centroids are a deterministic corpus sample (every (n/16)-th
-    vector by ``vec_id`` order — an untrained quantizer, the IVF analogue of
-    random-pivot selection; swap in seeded MLlib KMeans centers for a trained
-    one without touching the rest of the plan). Assignment is a broadcast
-    nested-loop against the 16-row centroid table followed by a max_by
+    Coarse centroids are TRAINED: a deterministic seeded init (the 16
+    smallest ``md5(vec_id)`` rows — a uniform pseudo-random sample with no
+    density assumption on vec_ids) refined by one Lloyd pass
+    (``_lloyd_refine``). MLlib ``KMeans.fit`` would be eager — it runs
+    jobs at build time — so the training is expressed as lazy DataFrame
+    ops instead; a cluster deployment would persist the trained centers
+    once and reuse them across queries. Assignment is a broadcast
+    nested-loop against the 16-row centroid table followed by an argmax
     aggregation keyed on ``vec_id`` — one shuffle, map-side combinable.
     Candidates then come from an equi-join on ``centroid_id`` (nprobe=2 on
-    the query side), so the corpus is never cross-joined: O(n·16) assignment
-    + O(n·k/B·nprobe) candidate scoring, both linear in corpus size and
-    partitionable across any number of executors.
+    the query side), so the corpus is never cross-joined: O(n·16)
+    assignment + O(n·k/B·nprobe) candidate scoring, both linear in corpus
+    size and partitionable across any number of executors.
 
     Verified by recall@k against s01 plus determinism
-    (tests/test_similarity.py); rows-only driver check.
+    (tests/test_similarity.py); rows-only driver check. No eager job runs
+    at build time (pinned in tests/test_similarity.py).
     """
     e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    n = e.count()  # tiny job: parquet row-count from footer metadata
-    stride = max(n // _N_CENTROIDS, 1)
-    cents = (
-        e.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < _N_CENTROIDS))
+    en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    init = (
+        en.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_N_CENTROIDS)
         .select(
-            (F.col("vec_id") / stride).cast("int").alias("centroid_id"),
+            F.col("vec_id").alias("centroid_id"),
             F.col("v").alias("cv"),
-            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nc"),
+            F.col("nv").alias("nc"),
         )
     )
-    en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cents = _lloyd_refine(en, init)
     # cosine affinity to every centroid; argmax per vector via max(struct)
     aff = en.join(F.broadcast(cents)).select(
         "vec_id",

@@ -51,3 +51,25 @@ def test_ivf_deterministic(spark, sf_dir):
     a = all_specs()["s03_ivf_ann_topk"].builder(spark, sf_dir).collect()
     b = all_specs()["s03_ivf_ann_topk"].builder(spark, sf_dir).collect()
     assert a == b
+
+
+def test_builders_run_no_eager_jobs(spark, sf_dir):
+    """Query builders must be lazy: constructing the plan runs no MORE
+    Spark jobs than bare source resolution (spark.read.parquet runs one
+    footer/schema job per table; that is the floor, not our plan logic).
+    The round-1 advisory flagged s03's count() and a06's first() — each
+    added compute jobs on top of the read; this pins their absence."""
+    from final_project_big_data_spark.io import load_table
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs(fn):
+        before = len(tracker.getJobIdsForGroup(None))
+        fn()
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    base = jobs(lambda: load_table(spark, sf_dir, "embeddings"))
+    for name in ("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_ann_topk",
+                 "a06_freq_items"):
+        got = jobs(lambda: all_specs()[name].builder(spark, sf_dir))
+        assert got <= base, f"{name} ran {got} jobs at build (floor {base})"
