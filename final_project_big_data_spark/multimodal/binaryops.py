@@ -16,6 +16,11 @@ Wire format of the synthetic blobs (deterministic, seed-free):
   bytes 6-7   height (uint16 big-endian)
   byte  8     channels (uint8)
   bytes 9..   payload (md5-chained pseudo-noise, width*height*channels bytes)
+
+The payload chain advances in the HEX-STRING domain — block₀ =
+md5(str(id)), blockᵢ₊₁ = md5(hex(blockᵢ)) — so a SQL engine whose md5()
+only accepts VARCHAR (DuckDB) can reproduce the exact bytes: that is what
+makes mm02/mm03 fully oracle-checkable, not rows-only.
 """
 
 from __future__ import annotations
@@ -38,13 +43,17 @@ FRAME_SCHEMA = "media_id bigint, frame_no int, frame binary, frame_len int"
 
 
 def _payload(media_id: int, n: int) -> bytes:
-    """md5-chained pseudo-noise: deterministic bytes, no RNG state."""
+    """md5-chained pseudo-noise: deterministic bytes, no RNG state.
+
+    The chain feeds each block's lowercase HEX back into md5 (not the raw
+    digest) so engines with VARCHAR-only md5 can recompute it — see module
+    docstring.
+    """
     out = bytearray()
-    seed = str(media_id).encode()
-    block = hashlib.md5(seed).digest()
+    h = hashlib.md5(str(media_id).encode()).hexdigest()
     while len(out) < n:
-        out.extend(block)
-        block = hashlib.md5(block).digest()
+        out.extend(bytes.fromhex(h))
+        h = hashlib.md5(h.encode()).hexdigest()
     return bytes(out[:n])
 
 
@@ -101,21 +110,32 @@ def extract_metadata(media: DataFrame) -> DataFrame:
     return media.select("media_id", "blob").mapInPandas(parse, schema=META_SCHEMA)
 
 
-def decode_image(blob: bytes):
-    """Real decode — STUB: media libraries are not in this container.
+def decode_image(blob: bytes) -> dict:
+    """Real image decode — requires PIL, which this container does not ship.
 
-    The Spark-side plumbing (batching, schema, partitioning) is identical
-    whichever decoder runs; swap this function body on a cluster image that
-    ships PIL/ffmpeg.
+    Where PIL exists (a full cluster image) this decodes any
+    PIL-supported format and returns typed dimensions + flat pixel data;
+    here it raises ``NotImplementedError`` and the pipeline uses
+    ``fake_decode``. The Spark-side plumbing (batching, schema,
+    partitioning) is identical whichever decoder runs — the guarded test
+    in tests/test_multimodal.py executes this path wherever PIL imports.
     """
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "image decode requires PIL; use fake_decode for the deterministic "
             "test path"
         ) from exc
-    raise NotImplementedError("wire PIL decode here on a full cluster image")
+    import io
+
+    img = Image.open(io.BytesIO(blob))
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+        "pixels": list(img.getdata()),
+    }
 
 
 def fake_decode(blob: bytes) -> list[int]:
@@ -140,7 +160,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                 ent = -sum(
                     (c / n) * math.log2(c / n) for c in counts.values()
                 )
-                rows.append((mid, round(mean, 4), round(ent, 4)))
+                # raw doubles: rounding happens Spark-side (F.round matches
+                # SQL ROUND half-up; Python round() is banker's)
+                rows.append((mid, mean, ent))
             yield pd.DataFrame(
                 rows, columns=["media_id", "mean_intensity", "byte_entropy"]
             )

@@ -6,9 +6,11 @@ are parsed back by an Arrow-batched UDF, and DuckDB recomputes the expected
 metadata arithmetically from the generator's definition — a real
 cross-engine check of the binary path without needing media libs.
 
-mm02/mm03 (features, frame sampling) run byte-level Python compute with no
-SQL analogue → registered without oracles (driver records rows-only
-checks, per the contract's weaker-check clause).
+mm02/mm03 are oracle-checked the same way: the payload is an md5 chain in
+the hex-string domain (``binaryops._payload``), so DuckDB regrows the
+identical bytes with a recursive CTE and recomputes mean intensity / byte
+entropy / frame fan-out arithmetically — the whole multimodal surface gets
+value-hash verification, no rows-only fallback.
 """
 
 from __future__ import annotations
@@ -48,18 +50,83 @@ def mm01(spark: SparkSession, sf: str) -> DataFrame:
     return extract_metadata(media).orderBy("media_id")
 
 
-@query("mm02_media_features", oracle=None, category="multimodal")
+# DuckDB regrows the md5-chain payload: block0 = md5(id), block_{i+1} =
+# md5(hex(block_i)) — the generator chains in the hex domain precisely so a
+# VARCHAR-only md5 can follow it. Bytes come from hex pairs via strpos.
+_PAYLOAD_BYTES_SQL = f"""
+    WITH RECURSIVE m AS (
+      SELECT range AS media_id,
+             (8 + range % 5) * (6 + range % 4) * (1 + range % 3) AS n
+      FROM range({N_MEDIA})
+    ),
+    blocks AS (
+      SELECT media_id, 0 AS i, md5(CAST(media_id AS VARCHAR)) AS h, n FROM m
+      UNION ALL
+      SELECT media_id, i + 1, md5(h), n FROM blocks WHERE (i + 1) * 16 < n
+    ),
+    bytes AS (
+      SELECT media_id, i * 16 + j AS pos,
+             (strpos('0123456789abcdef', substr(h, 2 * j + 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(h, 2 * j + 2, 1)) - 1 AS v,
+             n
+      FROM blocks, UNNEST(range(16)) AS u(j)
+      WHERE i * 16 + j < n
+    )
+"""
+
+
+@query(
+    "mm02_media_features",
+    oracle=_PAYLOAD_BYTES_SQL
+    + """
+    , counts AS (
+      SELECT media_id, v, count(*) AS c, any_value(n) AS n
+      FROM bytes GROUP BY media_id, v
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           ROUND(SUM(v * c) / CAST(n AS DOUBLE), 4) AS mean_intensity,
+           ROUND(-SUM((c / CAST(n AS DOUBLE))
+                      * log2(c / CAST(n AS DOUBLE))), 4) AS byte_entropy
+    FROM counts GROUP BY media_id, n ORDER BY media_id
+    """,
+    category="multimodal",
+)
 def mm02(spark: SparkSession, sf: str) -> DataFrame:
-    """Decode-stub feature extraction (mean intensity, byte entropy) —
-    deterministic but byte-level Python; rows-only driver check."""
+    """Decode-stub feature extraction (mean intensity, byte entropy) over
+    distributed blobs == DuckDB's arithmetic regrowth of the same payload."""
     media = synth_media(spark, n=N_MEDIA)
-    return extract_features(media).orderBy("media_id")
+    return (
+        extract_features(media)
+        .select(
+            "media_id",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+            F.round("byte_entropy", 4).alias("byte_entropy"),
+        )
+        .orderBy("media_id")
+    )
 
 
-@query("mm03_frame_sampling", oracle=None, category="multimodal")
+@query(
+    "mm03_frame_sampling",
+    oracle=f"""
+    WITH m AS (
+      SELECT range AS media_id,
+             (8 + range % 5) * (6 + range % 4) * (1 + range % 3) AS psize
+      FROM range({N_MEDIA})
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(k AS INT) AS frame_no,
+           CAST(16 AS INT) AS frame_len
+    FROM m, UNNEST(range(0, psize // 16, 2)) AS t(k)
+    ORDER BY media_id, frame_no
+    """,
+    category="multimodal",
+)
 def mm03(spark: SparkSession, sf: str) -> DataFrame:
-    """Video-style frame sampling fan-out; rows-only driver check
-    (frame bytes dropped — binary cells don't canonicalize portably)."""
+    """Video-style frame sampling fan-out == closed-form frame arithmetic
+    (frame bytes dropped from the checked projection — binary cells don't
+    canonicalize portably; the bytes themselves are pinned by
+    tests/test_multimodal.py's slice check)."""
     media = synth_media(spark, n=N_MEDIA)
     return (
         sample_frames(media, frame_bytes=16, every=2)

@@ -42,9 +42,32 @@ def test_metadata_handles_garbage_blob(spark):
     assert r.fmt == "unknown" and r.width == 0
 
 
-def test_decode_stub_is_marked(media):
+def test_decode_raises_without_pil():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL available — seam is live, not stubbed")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         B.decode_image(b"FAKE" + b"\x00" * 20)
+
+
+def test_pil_decode_roundtrip():
+    """Executable wherever PIL exists: the decode seam returns real pixels.
+    Skipped in this container (no PIL) — the seam stays verified as a stub
+    by test_decode_raises_without_pil instead."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (4, 3), color=7)
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    out = B.decode_image(buf.getvalue())
+    assert (out["width"], out["height"], out["mode"]) == (4, 3, "L")
+    assert out["pixels"] == [7] * 12
 
 
 def test_feature_extraction_deterministic(media):
