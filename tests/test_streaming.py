@@ -301,3 +301,39 @@ def test_streaming_corpus_curation_matches_batch(spark, sf_dir, tmp_path_factory
     got = _rows(spark.table("curate_out"), "doc_id", "pred_lang", "quality", "n_tokens")
     want = _rows(p01(spark, sf_dir), "doc_id", "pred_lang", "quality", "n_tokens")
     assert len(got) > 0 and got == want
+
+
+def test_kafka_envelope_reference_byte_parity(spark):
+    """The Kafka value envelope matches the reference's prediction message
+    byte-for-byte (/root/reference/tasks/scripts/predict.py:37-44: to_json
+    over struct(Time, Amount, actual_label, predicted_label)), and
+    encode_json -> parse_json_stream round-trips the typed values exactly
+    (predict.py:30-32's from_json leg)."""
+    rows = [(0.0, 149.62, 0, 0.0), (1.5, 2.69, 1, 1.0)]
+    schema = (
+        "Time double, Amount double, actual_label int, predicted_label double"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    got = [r.value for r in P.encode_json(df).collect()]
+    want = [
+        '{"Time":0.0,"Amount":149.62,"actual_label":0,"predicted_label":0.0}',
+        '{"Time":1.5,"Amount":2.69,"actual_label":1,"predicted_label":1.0}',
+    ]
+    assert got == want  # byte-level envelope parity
+
+    import pyspark.sql.types as T
+
+    env_schema = T.StructType(
+        [
+            T.StructField("Time", T.DoubleType()),
+            T.StructField("Amount", T.DoubleType()),
+            T.StructField("actual_label", T.IntegerType()),
+            T.StructField("predicted_label", T.DoubleType()),
+        ]
+    )
+    back = P.parse_json_stream(
+        P.encode_json(df).withColumn("value", F.col("value").cast("binary")),
+        schema=env_schema,
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
