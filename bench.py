@@ -88,6 +88,7 @@ def main() -> None:
         extras[name] = round(best, 3)
 
     duck_total = None
+    duck_queries: dict[str, float] = {}
     try:
         import duckdb
 
@@ -99,11 +100,18 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        t0 = time.perf_counter()
+        # per-query split (min-of-2, like the Spark side) so a single >2×
+        # outlier is visible instead of hiding inside the aggregate ratio
         for name in HEADLINE:
-            if specs[name].oracle:
+            if not specs[name].oracle:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
                 con.execute(specs[name].oracle).fetchall()
-        duck_total = round(time.perf_counter() - t0, 3)
+                best = min(best, time.perf_counter() - t0)
+            duck_queries[name] = round(best, 3)
+        duck_total = round(sum(duck_queries.values()), 3)
     except Exception:
         pass
 
@@ -117,6 +125,7 @@ def main() -> None:
     out["extra_queries"] = extras
     if duck_total is not None:
         out["duckdb_total_sec"] = duck_total
+        out["duckdb_queries"] = duck_queries
     print(json.dumps(out))
     spark.stop()
 
