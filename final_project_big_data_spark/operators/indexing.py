@@ -84,6 +84,47 @@ def with_global_index(
     )
 
 
+def with_ntile(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    n: int,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact 1-based ``ntile(n)`` over a GLOBAL ordering without a global
+    window (which would collapse the table into one WindowExec task).
+
+    Composes :func:`with_global_index` (distributed exact rank ``r``) with
+    ntile's closed form in (r, total): the first ``total mod n`` tiles get
+    ``total div n + 1`` rows, the rest ``total div n``. The 1-row count
+    aggregate broadcasts; tile assignment is map-only.
+    """
+    idx = with_global_index(df, order_cols, index_col="_nt_r")
+    n1 = df.groupBy().agg(F.count(F.lit(1)).alias("_nt_n"))
+    return (
+        idx.crossJoin(F.broadcast(n1))
+        .withColumn("_nt_base", F.expr(f"_nt_n div {n}"))
+        .withColumn("_nt_rem", F.col("_nt_n") % n)
+        .withColumn(
+            tile_col,
+            (
+                F.when(
+                    F.col("_nt_r") < F.col("_nt_rem") * (F.col("_nt_base") + 1),
+                    F.expr("_nt_r div (_nt_base + 1)"),
+                ).otherwise(
+                    # greatest() guards ANSI div-by-zero when rows < n
+                    # (branch unreachable then: all ranks land in big tiles)
+                    F.expr(
+                        "_nt_rem + (_nt_r - _nt_rem * (_nt_base + 1))"
+                        " div greatest(_nt_base, 1)"
+                    )
+                )
+                + 1
+            ).cast("int"),
+        )
+        .drop("_nt_r", "_nt_n", "_nt_base", "_nt_rem")
+    )
+
+
 def with_shard(
     df: DataFrame,
     key_col: str,

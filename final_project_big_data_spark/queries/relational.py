@@ -617,29 +617,11 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
     ``n mod 4`` buckets hold ``n div 4 + 1`` rows, the rest ``n div 4``.
     The 1-row count aggregate broadcasts; everything else is map-only.
     """
-    from final_project_big_data_spark.operators.indexing import with_global_index
+    from final_project_big_data_spark.operators.indexing import with_ntile
 
     c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
-    idx = with_global_index(c, ["c_acctbal", "c_custkey"], index_col="r")
-    n1 = c.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     return (
-        idx.crossJoin(F.broadcast(n1))
-        .withColumn("_base", F.expr("_n div 4"))
-        .withColumn("_rem", F.col("_n") % 4)
-        .withColumn(
-            "quartile",
-            (
-                F.when(
-                    F.col("r") < F.col("_rem") * (F.col("_base") + 1),
-                    F.expr("r div (_base + 1)"),
-                ).otherwise(
-                    # greatest() guards ANSI div-by-zero when n < 4 (branch
-                    # unreachable then: every rank falls in the big buckets)
-                    F.expr("_rem + (r - _rem * (_base + 1)) div greatest(_base, 1)")
-                )
-                + 1
-            ).cast("int"),
-        )
+        with_ntile(c, ["c_acctbal", "c_custkey"], 4, tile_col="quartile")
         .select("c_custkey", "quartile")
         .orderBy("c_custkey")
     )

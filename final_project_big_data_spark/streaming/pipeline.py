@@ -44,15 +44,19 @@ def replay_dir(
 ) -> str:
     """Write events as ``n_batches`` time-ordered part-files for stream replay.
 
-    Batches are split by event-time quantile (ntile over ts), so replay
-    arrives in time order — exactly how a real stream arrives. Splitting by
-    anything non-temporal would make every batch span the full timeline and
-    the watermark would (correctly) drop most of batches 2..n as late.
+    Batches are split by event-time quantile (exact ntile over ts), so
+    replay arrives in time order — exactly how a real stream arrives.
+    Splitting by anything non-temporal would make every batch span the full
+    timeline and the watermark would (correctly) drop most of batches 2..n
+    as late. Uses the distributed closed-form ntile (no global window).
     """
-    from pyspark.sql import Window as W
+    from final_project_big_data_spark.operators.indexing import with_ntile
 
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "_b", F.ntile(n_batches).over(W.orderBy("ts", "event_id"))
+    events = with_ntile(
+        load_table(spark, sf_dir, "events"),
+        ["ts", "event_id"],
+        n_batches,
+        tile_col="_b",
     )
     for i in range(n_batches):
         (
@@ -338,12 +342,16 @@ def replay_docs(
 
     Ordered by doc_id so first-arrival == lowest doc_id: the streaming
     dedup (keep-first) then computes exactly the batch window-min dedup
-    (p01), making the batch pipeline the oracle for the stream.
+    (p01), making the batch pipeline the oracle for the stream. Uses the
+    distributed closed-form ntile (no global window).
     """
-    from pyspark.sql import Window as W
+    from final_project_big_data_spark.operators.indexing import with_ntile
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "_b", F.ntile(n_batches).over(W.orderBy("doc_id"))
+    docs = with_ntile(
+        load_table(spark, sf_dir, "documents"),
+        ["doc_id"],
+        n_batches,
+        tile_col="_b",
     )
     for i in range(n_batches):
         (
