@@ -516,3 +516,340 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(k / 10).cast("int").alias("k_decile"),
         F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
     ).orderBy("event_id")
+
+
+@query(
+    "q70_sessionization",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM x
+    )
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    category="window",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization — the classic gap-based session assignment
+    (new session when >30 min since the user's previous event): lag +
+    running sum of boundary flags, then a per-session rollup. Every
+    window is partitioned by ``user_id`` — the state never leaves one
+    user's partition, so the plan holds at any user count. The streaming
+    twin is ``session_window`` (w02); this is its batch oracle shape.
+    Timestamp arithmetic stays in the interval domain (no epoch
+    truncation) so both engines compare gaps at full precision.
+    """
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts").over(w)
+    ns = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("_ns", ns)
+        .withColumn("session_id", F.sum("_ns").over(wrun).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q71_linear_interpolate",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             max(value) AS v
+      FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+               FROM d GROUP BY event_type),
+    spine AS (
+      SELECT b.event_type, CAST(s.day AS DATE) AS day
+      FROM bounds b,
+           UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS s(day)
+    ),
+    j AS (SELECT s.event_type, s.day, d.v
+          FROM spine s LEFT JOIN d USING (event_type, day)),
+    f AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wb AS pd,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wf AS nd
+      FROM j
+      WINDOW wb AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (day - pd) / (nd - pd)
+           END, 4) AS value_interp,
+           (v IS NULL) AS was_gap
+    FROM f ORDER BY event_type, day
+    """,
+    category="window",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series linear interpolation over a daily spine (q55's gap-fill
+    upgraded from forward-fill to true interpolation): missing days get
+    ``prev + (next-prev) * elapsed/gap``. Spine generation is per-key
+    ``sequence()`` fan-out; prev/next anchors are IGNORE NULLS running
+    windows partitioned by ``event_type`` — no global window, no state
+    outside one key's partition.
+    """
+    e = load_table(spark, sf, "events")
+    # daily PEAK, not mean: max is summation-order-independent, so both
+    # engines interpolate from bit-identical anchors (a double avg differs
+    # in accumulation order and the engines' ROUNDs split at half-boundaries)
+    d = (
+        e.groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.max("value").alias("v"))
+    )
+    spine = (
+        d.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        )
+    )
+    j = spine.join(d, ["event_type", "day"], "left")
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd")
+            / F.datediff("nd", "pd")
+        )
+    )
+    return f.select(
+        "event_type",
+        "day",
+        F.round(interp, 4).alias("value_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "q72_salted_skew_join",
+    oracle="""
+    WITH dim AS (SELECT event_type, avg(value) AS type_avg
+                 FROM events GROUP BY event_type)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(d.type_avg), 4) AS type_avg
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    category="join",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigating SALTED join, result-identical to the plain
+    equi-join the oracle runs. ``event_type`` has very few distinct
+    values — the worst-case skewed join key: a plain shuffle join sends
+    each type's entire fan-in to ONE reducer. Salting splits every hot
+    key into ``S`` sub-keys: the big side appends a deterministic salt
+    ``pmod(event_id, S)``, the small side explodes ×S, and the join key
+    becomes (key, salt) — S-way parallelism per hot key for an S× blowup
+    of only the SMALL side. This is the manual form of what AQE skew-join
+    does for detected skew; expressed here as a first-class operator
+    because sketch-sized dims (this one is 3 rows) are below AQE's
+    detection threshold yet still serialize the reduce side.
+    """
+    S = 8
+    e = load_table(spark, sf, "events")
+    dim = e.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    left = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(S)).cast("int"))
+    return (
+        left.join(salted_dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("type_avg"), 4).alias("type_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q73_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000
+    ),
+    changes AS (
+      SELECT o_orderkey, o_totalprice * 1.1 AS new_price,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey < 500
+      UNION ALL
+      SELECT o_orderkey + 1000000, 42.0, 'I'
+      FROM orders WHERE o_orderkey < 100
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           ROUND(CASE WHEN c.op IS NULL THEN b.o_totalprice
+                      ELSE c.new_price END, 4) AS o_totalprice,
+           COALESCE(c.op, 'K') AS op
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    ORDER BY o_orderkey
+    """,
+    category="join",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE / upsert semantics (no Delta in this container, so the
+    warehouse-standard rewrite): apply a change set (Update / Insert /
+    Delete ops) to a base table with ONE full outer join on the key —
+    matched-U rows take the new value, matched-D rows drop, unmatched-I
+    rows append, untouched base rows keep ('K'). One shuffle on the merge
+    key; at scale this is exactly the join a MERGE INTO compiles to, and
+    the change set is usually small enough to broadcast.
+    """
+    o = load_table(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    ins = o.filter(F.col("o_orderkey") < 100).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        F.lit(42.0).alias("new_price"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionAll(ins)
+    merged = base.alias("b").join(
+        changes.alias("c"), "o_orderkey", "full_outer"
+    )
+    return (
+        merged.filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            "o_orderkey",
+            F.round(
+                F.when(F.col("c.op").isNull(), F.col("b.o_totalprice")).otherwise(
+                    F.col("c.new_price")
+                ),
+                4,
+            ).alias("o_totalprice"),
+            F.coalesce(F.col("c.op"), F.lit("K")).alias("op"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q74_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    category="sort",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic pagination: ORDER BY + OFFSET + LIMIT. Spark plans
+    offset+limit as a driver-merged top-(offset+limit) per partition —
+    like q26's TakeOrdered, no global sort; the skipped prefix must stay
+    small (offset deep-paging is an anti-pattern at scale — keyset
+    pagination, i.e. WHERE key > last_seen, is the 100 TB form).
+    """
+    return (
+        load_table(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+@query(
+    "q75_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 200
+      UNION ALL BY NAME
+      SELECT o_orderstatus, o_orderkey
+      FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 300
+    )
+    ORDER BY o_orderkey
+    """,
+    category="setop",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union: ``unionByName(allowMissingColumns=True)``
+    aligns by column NAME (not position) and null-fills absent columns —
+    the operator that makes appending an evolved-schema batch safe.
+    Map-only (no shuffle); the ORDER BY is the usual determinism
+    convention.
+    """
+    o = load_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = (
+        o.filter((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 300))
+        .select("o_orderstatus", "o_orderkey")
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -224,3 +224,122 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "word", "tf", "tfidf")
         .orderBy("doc_id", "word")
     )
+
+
+@query(
+    "t06_bigram_logprob",
+    oracle=r"""
+    WITH wd AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i + 1])) AS w2
+      FROM wd WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c FROM bi GROUP BY w1)
+    SELECT b.doc_id,
+           ROUND(avg(ln(c12.c / CAST(c1.c AS DOUBLE))), 4) AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bi b
+    JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+    JOIN c1 ON b.w1 = c1.w1
+    GROUP BY b.doc_id ORDER BY doc_id
+    """,
+    category="text",
+)
+def t06(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram language-model scoring — per-doc mean log P(w₂|w₁)
+    under the MLE bigram model trained on the SAME corpus (the standard
+    perplexity-style quality filter: low-probability word sequences mark
+    boilerplate/garbled text). Counts are two hash aggregates on
+    (w1, w2) / (w1); scoring is two equi-joins back onto the bigram
+    stream — every stage shuffles on a word key, nothing is global. The
+    corpus-side counts are exactly the "train once, score everything"
+    artifact a 100 TB curation run would persist and broadcast.
+    """
+    d = widen(load_table(spark, sf, "documents")).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+    )
+    bi = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("c12") / F.col("c1").cast("double"))), 4
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "t07_repetition_score",
+    oracle=r"""
+    WITH wd AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+               AS grams
+      FROM wd WHERE len(w) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_trigrams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(grams))
+                       / CAST(len(grams) AS DOUBLE), 4) AS rep_frac
+    FROM tg ORDER BY doc_id
+    """,
+    category="text",
+)
+def t07(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition scoring — duplicated-trigram fraction per document (the
+    Gopher/C4-style boilerplate filter: templated or looping text shows a
+    high share of repeated n-grams). Entirely MAP-ONLY: trigrams, distinct
+    count, and the ratio are per-row array expressions — zero shuffles,
+    embarrassingly parallel at any scale, the cheapest quality signal in
+    the curation stack (contrast t06's corpus-wide model).
+    """
+    d = widen(load_table(spark, sf, "documents")).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 3)
+    grams = F.expr(
+        "transform(sequence(1, size(w) - 2),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1),"
+        "             ' ', element_at(w, i + 2)))"
+    )
+    return (
+        d.select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_trigrams"),
+            F.size(F.array_distinct("grams")).alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("grams"))
+                / F.size("grams").cast("double"),
+                4,
+            ).alias("rep_frac"),
+        )
+        .orderBy("doc_id")
+    )
