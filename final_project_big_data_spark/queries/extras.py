@@ -692,27 +692,23 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
     category="join",
 )
 def q72(spark: SparkSession, sf: str) -> DataFrame:
-    """Skew-mitigating SALTED join, result-identical to the plain
-    equi-join the oracle runs. ``event_type`` has very few distinct
-    values — the worst-case skewed join key: a plain shuffle join sends
-    each type's entire fan-in to ONE reducer. Salting splits every hot
-    key into ``S`` sub-keys: the big side appends a deterministic salt
-    ``pmod(event_id, S)``, the small side explodes ×S, and the join key
-    becomes (key, salt) — S-way parallelism per hot key for an S× blowup
-    of only the SMALL side. This is the manual form of what AQE skew-join
-    does for detected skew; expressed here as a first-class operator
-    because sketch-sized dims (this one is 3 rows) are below AQE's
-    detection threshold yet still serialize the reduce side.
+    """Skew-mitigating SALTED join (``plans.skew.salted_join``), result-
+    identical to the plain equi-join the oracle runs. ``event_type`` has
+    very few distinct values — the worst-case skewed join key: a plain
+    shuffle join sends each type's entire fan-in to ONE reducer. Salting
+    splits every hot key into ``n_salts`` sub-keys: the fact side gets a
+    deterministic row-hash salt, the dim side explodes ×n_salts, and the
+    join key becomes (key, salt) — n_salts-way parallelism per hot key
+    for a blowup of only the 3-row dim. The manual form of AQE skew-join,
+    needed because sketch-sized dims sit below AQE's detection threshold
+    yet still serialize the reduce side.
     """
-    S = 8
+    from final_project_big_data_spark.plans.skew import salted_join
+
     e = load_table(spark, sf, "events")
     dim = e.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
-    salted_dim = dim.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
-    )
-    left = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(S)).cast("int"))
     return (
-        left.join(salted_dim, ["event_type", "salt"])
+        salted_join(e, dim, "event_type", n_salts=8)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
