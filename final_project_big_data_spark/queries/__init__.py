@@ -41,6 +41,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from final_project_big_data_spark.queries import (  # noqa: F401
         approx,
         asofq,
+        connectors,
         curation,
         dedup,
         extras,

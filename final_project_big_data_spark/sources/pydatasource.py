@@ -1,0 +1,122 @@
+"""Custom connectors via the Spark 4 Python Data Source API.
+
+The reference's only "connectors" are parquet files and Kafka; a real
+engine is extensible — this module implements both halves of the
+``pyspark.sql.datasource`` contract:
+
+- ``SynthDocsDataSource`` (format ``synthdocs``): a PARTITIONED batch
+  reader. ``partitions()`` plans N independent splits; each executor task
+  calls ``read(partition)`` for its split only — the source parallelizes
+  like any file scan (no driver materialization, no single-task read).
+  Rows are a deterministic closed form of ``doc_id``, which is what makes
+  the connector oracle-checkable end-to-end (x04).
+- ``RowCountSinkDataSource`` (format ``rowcount_sink``): a writer
+  demonstrating the distributed commit protocol — ``write()`` runs
+  per-partition on executors and returns a ``WriterCommitMessage``;
+  ``commit()`` runs once on the driver with ALL messages and publishes an
+  atomic summary. That message/commit split is exactly how exactly-once
+  file/table sinks are built.
+
+Python data sources run rows through Arrow on the executor — the slow
+path relative to a JVM scan, right for custom protocols/APIs, not for
+bulk columnar data (use parquet/ORC there).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+FORMAT_DOCS = "synthdocs"
+FORMAT_ROWCOUNT = "rowcount_sink"
+
+
+def doc_text(doc_id: int) -> str:
+    """Closed-form text for one doc — mirrored by x04's DuckDB oracle."""
+    return f"w{doc_id % 7} w{(doc_id * 3) % 11} w{(doc_id * 7) % 13}"
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        # one InputPartition per split: Spark schedules one task each
+        return [InputPartition(i) for i in range(self.num_partitions)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # round-robin split: this task yields ONLY its residue class
+        for doc_id in range(partition.value, self.n, self.num_partitions):
+            yield (doc_id, doc_id % 4, doc_text(doc_id))
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_DOCS
+
+    def schema(self) -> str:
+        return "doc_id bigint, shard int, text string"
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)
+
+
+class _CountMessage(WriterCommitMessage):
+    def __init__(self, rows: int, task_part: int) -> None:
+        self.rows = rows
+        self.task_part = task_part
+
+
+class RowCountWriter(DataSourceWriter):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator: Iterator) -> _CountMessage:
+        # executor-side: consume this partition's rows, report, don't store
+        from pyspark import TaskContext
+
+        n = sum(1 for _ in iterator)
+        return _CountMessage(n, TaskContext.get().partitionId())
+
+    def commit(self, messages: list[_CountMessage]) -> None:
+        # driver-side, after EVERY task succeeded: atomic publish
+        summary = {
+            "total_rows": sum(m.rows for m in messages),
+            "partitions": len(messages),
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(summary, f)
+        os.replace(tmp, self.path)
+
+    def abort(self, messages: list) -> None:
+        # failed job must leave no partial output
+        for p in (self.path + ".tmp", self.path):
+            if os.path.exists(p):
+                os.remove(p)
+
+
+class RowCountSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_ROWCOUNT
+
+    def writer(self, schema, overwrite: bool) -> RowCountWriter:
+        return RowCountWriter(self.options)
+
+
+def register_sources(spark) -> None:
+    """Idempotently register both custom formats on the session."""
+    spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(RowCountSinkDataSource)
