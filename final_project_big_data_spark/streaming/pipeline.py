@@ -295,6 +295,58 @@ def user_running_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def user_running_totals_tws(df: DataFrame) -> DataFrame:
+    """Same per-user accumulator as :func:`user_running_totals`, on
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state API
+    (successor to ``applyInPandasWithState``): named TYPED state slots on
+    a handle, explicit processor lifecycle (``init``/``close``), timer
+    support, and a RocksDB-backed state store requirement. Both operators
+    stay in the package deliberately: applyInPandasWithState is the
+    stable/widely-deployed surface, this is the forward path.
+
+    State layout and scale posture are identical: one fixed-width row per
+    user, shuffled on the grouping key; memory is O(distinct users).
+    Equivalence against the batch aggregate is pinned in
+    tests/test_streaming.py alongside the applyInPandasWithState twin —
+    guarded: the API's state-server protocol needs ``google.protobuf``,
+    which this container does not ship (the test skips, like the PIL
+    decode seam; on a full cluster image it runs).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to completion into a memory sink (tests)."""
     q = (

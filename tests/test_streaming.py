@@ -337,3 +337,42 @@ def test_kafka_envelope_reference_byte_parity(spark):
         schema=env_schema,
     )
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_transform_with_state_running_totals(spark, replay_path, events_batch):
+    """transformWithStateInPandas accumulator == batch groupBy totals ==
+    the applyInPandasWithState twin. Requires the RocksDB state store
+    (scoped to this test; the default HDFS-backed store rejects the new
+    API) and google.protobuf (the API's state-server wire protocol) —
+    absent in this container, so the test skips here and runs on a full
+    cluster image."""
+    pytest.importorskip("google.protobuf.descriptor")
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = P.user_running_totals_tws(P.file_stream(spark, replay_path))
+        P.run_to_memory(stream, "tws_out", output_mode="update")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    final = (
+        spark.table("tws_out")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("last"))
+    )
+    got = {
+        r.user_id: (r.last.n_events, round(r.last.sum_value, 3))
+        for r in final.collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 3))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
