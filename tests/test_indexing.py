@@ -54,3 +54,28 @@ def test_shard_assignment_stable_and_balanced(spark, sf_dir):
     n = sum(per.values())
     assert set(per) == set(range(8))
     assert max(per.values()) < 2 * n / 8  # no degenerate shard
+
+
+def test_pagerank_two_node_cycle_is_stationary(spark):
+    """a→b→a: the uniform distribution is the fixed point — ranks must
+    stay exactly (0.5, 0.5) through every iteration."""
+    from final_project_big_data_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_sink_absorbs_rank(spark):
+    """Star into a sink: the center node's rank must exceed the leaves',
+    and every rank stays in (0, 1] with total mass ≤ 1 (dangling mass is
+    dropped, so strict conservation isn't expected)."""
+    from final_project_big_data_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    rows = {r.node: r.rank for r in pagerank(edges, n_iter=5).collect()}
+    assert rows[0] > max(v for k, v in rows.items() if k != 0)
+    assert all(0 < v <= 1 for v in rows.values())
+    assert sum(rows.values()) <= 1.0 + 1e-9
