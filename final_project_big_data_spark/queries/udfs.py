@@ -176,3 +176,77 @@ def u04(spark: SparkSession, sf: str) -> DataFrame:
         .mapInPandas(words, schema="doc_id bigint, word_idx int, word string")
         .orderBy("doc_id", "word_idx")
     )
+
+
+# ------------------------------------------- SQL-registered UDF + real UDTF
+
+
+@query(
+    "u05_sql_registered_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(length(o_orderpriority) + o_orderkey % 5 AS BIGINT) AS score
+    FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey
+    """,
+    category="udf",
+)
+def u05(spark: SparkSession, sf: str) -> DataFrame:
+    """UDF registered into the SQL catalog (``spark.udf.register``) and
+    invoked from SQL TEXT — the other entry path next to u01's DataFrame
+    column API. Same perf caveat as any row UDF; registration itself is
+    session-scoped metadata, safe to repeat (re-registering replaces).
+    The query plans through the SQL parser over a registered temp view, so
+    the filter still reaches the parquet scan below the UDF projection.
+    """
+
+    def prio_score(prio: str, key: int) -> int:
+        return len(prio) + key % 5
+
+    spark.udf.register("prio_score", prio_score, T.LongType())
+    load_table(spark, sf, "orders").createOrReplaceTempView("u05_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, prio_score(o_orderpriority, o_orderkey) AS score
+        FROM u05_orders WHERE o_orderkey < 1500 ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "u06_python_udtf",
+    oracle="""
+    SELECT o_orderkey, part_no, token
+    FROM (SELECT o_orderkey,
+                 CAST(unnest(generate_series(1, len(string_split(o_orderpriority, '-'))))
+                      AS INT) AS part_no,
+                 unnest(string_split(o_orderpriority, '-')) AS token
+          FROM orders WHERE o_orderkey < 300)
+    ORDER BY o_orderkey, part_no
+    """,
+    category="udf",
+)
+def u06(spark: SparkSession, sf: str) -> DataFrame:
+    """A REAL Python UDTF (class-based ``@udtf`` API, lateral-joined per
+    input row) — u04 emulates table-function fan-out with mapInPandas;
+    this is the first-class surface: ``eval`` yields any number of typed
+    rows per input. Runs row-at-a-time Python (the slow path, like u01 —
+    declared, not used in scale paths, where explode/mapInPandas win).
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="part_no int, token string")
+    class SplitPriority:
+        def eval(self, prio: str):
+            for i, tok in enumerate(prio.split("-")):
+                yield i + 1, tok
+
+    spark.udtf.register("split_priority", SplitPriority)
+    load_table(spark, sf, "orders").createOrReplaceTempView("u06_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, s.part_no, s.token
+        FROM u06_orders o, LATERAL split_priority(o.o_orderpriority) s
+        WHERE o.o_orderkey < 300
+        ORDER BY o.o_orderkey, s.part_no
+        """
+    )

@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -60,6 +61,38 @@ class SynthDocsReader(DataSourceReader):
             yield (doc_id, doc_id % 4, doc_text(doc_id))
 
 
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: offset-tracked micro-batches.
+
+    The offset is a plain dict checkpointed by the engine; each trigger
+    calls ``read(start)`` → (rows, next_offset), and replay after failure
+    calls ``readBetweenOffsets`` — which MUST be deterministic for the
+    checkpoint recovery contract to give exactly-once. The closed-form
+    rows make that determinism trivial here; a real API source would
+    re-fetch by the same cursor range.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 50))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # a concrete list, not a generator: the engine pickles prefetched
+        # rows into its offset cache for failure replay
+        return [(i, i % 4, doc_text(i)) for i in range(lo, hi)]
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.rows_per_batch, self.n)
+        return self._rows(lo, hi), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(start["pos"], end["pos"])
+
+
 class SynthDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -70,6 +103,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
 
 
 class _CountMessage(WriterCommitMessage):
