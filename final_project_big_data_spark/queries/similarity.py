@@ -112,7 +112,48 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-@query("s02_lsh_ann_topk", oracle=None, category="similarity")
+def _s02_sql() -> str:
+    """Full DuckDB mirror of the LSH plan — the hyperplanes are seeded
+    constants, so signature, multiprobe and re-rank are all replayable:
+    sign tests and dot products are bit-exact across engines (s01 proved
+    ``list_dot_product`` == the sequential zip_with fold)."""
+    planes = _hyperplanes(64, _N_PLANES, _LSH_SEED)
+    sig_terms = "\n         + ".join(
+        f"CASE WHEN list_dot_product([{', '.join(repr(x) for x in row)}], v)"
+        f" >= 0 THEN {1 << (_N_PLANES - 1 - i)} ELSE 0 END"
+        for i, row in enumerate(planes)
+    )
+    flips = ", ".join(f"({f})" for f in [0] + [1 << i for i in range(_N_PLANES)])
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id, v,
+         {sig_terms} AS bucket,
+         sqrt(list_dot_product(v, v)) AS nv
+      FROM e
+    ),
+    probes AS (
+      SELECT s.vec_id AS query_id, s.v AS qv, s.nv AS nq,
+             xor(s.bucket, f.flip) AS probe
+      FROM sig s, (VALUES {flips}) AS f(flip)
+      WHERE s.vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             list_dot_product(p.qv, b.v) / (p.nq * b.nv) AS cs
+      FROM probes p JOIN sig b ON p.probe = b.bucket AND p.query_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("s02_lsh_ann_topk", oracle=_s02_sql(), category="similarity")
 def s02(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN: random-hyperplane signature → multiprobe bucket
     equi-join → exact cosine re-rank within candidates.
@@ -120,7 +161,9 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
     Probe side explodes to its own bucket plus every 1-bit-flip neighbor
     (multiprobe), so the candidate join is an equi-join on bucket — the
     O(n²) → O(n·probes/B · n) scale path; no vector ever crosses buckets.
-    Verified by tests/test_similarity.py recall@k against s01.
+    Verified by tests/test_similarity.py recall@k against s01 AND, since
+    the hyperplanes are seeded constants, a full DuckDB value-hash oracle
+    that replays signature → multiprobe → re-rank.
     """
     e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
