@@ -257,8 +257,12 @@ def _lloyd_refine(en: DataFrame, cents: DataFrame) -> DataFrame:
             F.first("v").alias("v"),
         )
     )
+    # means quantized to 8 decimals: the per-dim avg is the ONE floating
+    # accumulation-order-dependent step, and quantizing it lets a second
+    # engine (the DuckDB oracle) reproduce every downstream affinity,
+    # assignment and rank bit-for-bit from identical centroid doubles
     means = assigned.groupBy("centroid_id").agg(
-        *[F.avg(F.col("v")[i]).alias(f"_c{i}") for i in range(_DIM)]
+        *[F.round(F.avg(F.col("v")[i]), 8).alias(f"_c{i}") for i in range(_DIM)]
     )
     return means.select(
         "centroid_id",
@@ -266,7 +270,79 @@ def _lloyd_refine(en: DataFrame, cents: DataFrame) -> DataFrame:
     ).withColumn("nc", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
 
 
-@query("s03_ivf_ann_topk", oracle=None, category="similarity")
+def _s03_sql() -> str:
+    """Full DuckDB mirror of the IVF plan, Lloyd pass included. The seeded
+    md5 init, the 8-decimal quantized per-dim means, and bit-exact dot
+    products make every stage replayable; argmax tie-breaks mirror the
+    Spark plan exactly (struct-max → aff DESC, centroid_id DESC; probe
+    ranking → aff DESC, centroid_id ASC)."""
+    return f"""
+    WITH en AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nv
+      FROM embeddings
+    ),
+    init AS (
+      SELECT vec_id AS centroid_id, v AS cv, nv AS nc
+      FROM en ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_N_CENTROIDS}
+    ),
+    aff1 AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             list_dot_product(e.v, c.cv) / (e.nv * c.nc) AS aff
+      FROM en e CROSS JOIN init c
+    ),
+    assigned1 AS (
+      SELECT vec_id, v, centroid_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY aff DESC, centroid_id DESC) AS rn FROM aff1)
+      WHERE rn = 1
+    ),
+    means AS (
+      SELECT centroid_id, list(m ORDER BY i) AS cv
+      FROM (SELECT a.centroid_id, t.i, round(avg(a.v[t.i]), 8) AS m
+            FROM assigned1 a, UNNEST(generate_series(1, {_DIM})) t(i)
+            GROUP BY a.centroid_id, t.i)
+      GROUP BY centroid_id
+    ),
+    cents AS (
+      SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM means
+    ),
+    aff2 AS (
+      SELECT e.vec_id, e.v, e.nv, c.centroid_id,
+             list_dot_product(e.v, c.cv) / (e.nv * c.nc) AS aff
+      FROM en e CROSS JOIN cents c
+    ),
+    assigned2 AS (
+      SELECT vec_id, v, nv, centroid_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY aff DESC, centroid_id DESC) AS rn FROM aff2)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, nv AS nq,
+             centroid_id AS probe_centroid
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY aff DESC, centroid_id ASC) AS rn FROM aff2)
+      WHERE vec_id < {_N_QUERIES} AND rn <= {_N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             list_dot_product(p.qv, b.v) / (p.nq * b.nv) AS cs
+      FROM probes p JOIN assigned2 b
+        ON p.probe_centroid = b.centroid_id AND p.query_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cs DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= {_TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("s03_ivf_ann_topk", oracle=_s03_sql(), category="similarity")
 def s03(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-bucketed ANN: coarse quantize → inverted-list equi-join → exact
     cosine re-rank. The second scale path next to s02's LSH.
