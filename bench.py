@@ -39,12 +39,15 @@ HEADLINE = [
 # per-round numbers stay comparable
 EXTRAS = [
     "t05_tfidf",
+    "t06_bigram_logprob",
     "x01_asof_join",
     "x02_interval_join",
     "x03_global_index",
+    "x05_pagerank",
     "d07_dup_clusters",
     "s03_ivf_ann_topk",
     "p01_corpus_curation",
+    "q70_sessionization",
 ]
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -79,3 +81,27 @@ def test_pagerank_sink_absorbs_rank(spark):
     assert rows[0] > max(v for k, v in rows.items() if k != 0)
     assert all(0 < v <= 1 for v in rows.values())
     assert sum(rows.values()) <= 1.0 + 1e-9
+
+
+@pytest.mark.parametrize("n_rows,n_tiles", [(10, 4), (7, 3), (3, 4), (100, 7)])
+def test_with_ntile_matches_closed_form(spark, n_rows, n_tiles):
+    """Exact ntile semantics at awkward (rows, tiles) shapes incl.
+    rows < tiles: tile sizes differ by at most 1, larger tiles first,
+    assignment monotone in the ordering."""
+    from collections import Counter
+
+    from final_project_big_data_spark.operators.indexing import with_ntile
+
+    df = spark.range(n_rows).withColumnRenamed("id", "k")
+    rows = sorted(
+        (r.k, r.tile)
+        for r in with_ntile(df, ["k"], n_tiles, tile_col="tile").collect()
+    )
+    tiles = [t for _, t in rows]
+    assert tiles == sorted(tiles)  # monotone in the global order
+    sizes = Counter(tiles)
+    assert sum(sizes.values()) == n_rows
+    big, small = n_rows // n_tiles + 1, n_rows // n_tiles
+    rem = n_rows % n_tiles
+    for tile, size in sizes.items():
+        assert size == (big if tile <= rem else small), (tile, size)
