@@ -116,3 +116,38 @@ def x03(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "row_index")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x06_asof_join_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.ts AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    ORDER BY purchase_id
+    """,
+    category="asof",
+)
+def x06(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of: each purchase joined to the same user's NEXT click
+    at-or-after it (the "time-to-next-event" primitive — attribution,
+    churn windows). Same single-shuffle union+window plan as x01 with the
+    tie order and frame flipped (operators/asof.py direction='forward');
+    oracle is DuckDB's ASOF with the comparison reversed.
+    """
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="user_id", direction="forward")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("next_click_ts"),
+    ).orderBy("purchase_id")
