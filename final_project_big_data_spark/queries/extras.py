@@ -849,3 +849,128 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q76_tpch_q5_shape",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(38,4)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+    category="join",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-way local-supplier-volume join: two fact
+    tables joined to a dim chain with a cross-fact equality
+    (c_nationkey = s_nationkey). The plan the 100 TB posture is built
+    for: customer/supplier/nation/region broadcast, lineitem⋈orders is
+    the one big shuffle with the date filter pushed to the orders scan,
+    revenue sums exactly in DECIMAL (q65's convention) so the hash
+    matches digit-for-digit.
+    """
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * disc).cast("decimal(38,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "q77_time_weighted_avg",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, ts, value,
+             lead(ts) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    w AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,6))
+               * CAST(date_diff('second', ts, next_ts) AS BIGINT) AS wv,
+             CAST(date_diff('second', ts, next_ts) AS BIGINT) AS dur
+      FROM g WHERE next_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(wv) AS DECIMAL(38,6)) AS weighted_sum,
+           CAST(SUM(dur) AS BIGINT) AS total_secs,
+           ROUND(CAST(SUM(wv) AS DOUBLE) / SUM(dur), 4) AS twap
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+    category="window",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (TWAP) — each observation weighted by how
+    long it was current (lead-ts gap), the standard irregular-time-series
+    mean for sensor/market data. Weights multiply in exact DECIMAL so the
+    per-type sums are accumulation-order independent (a double product
+    sum would drift between engines); the final ratio divides two exact
+    quantities into a double identically on both sides. Windows are
+    partitioned by event_type: one hash shuffle, state never leaves the
+    key's partition.
+    """
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    dur = (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).cast("long")
+    wv = F.col("value").cast("decimal(18,6)") * dur
+    return (
+        g.select("event_type", wv.alias("wv"), dur.alias("dur"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("wv").cast("decimal(38,6)").alias("weighted_sum"),
+            F.sum("dur").alias("total_secs"),
+            F.round(
+                F.sum("wv").cast("double") / F.sum("dur"), 4
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )

@@ -160,3 +160,13 @@ def test_curation_single_shuffle(spark, sf_dir):
     assert p.count("rangepartitioning(") == 1, p
     # quality filter evaluated in the scan stage, before any exchange
     assert p.index("Scan parquet") < p.index("hashpartitioning("), p
+
+
+def test_q5_shape_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    """q76's 6-way join: every dimension (customer/supplier/nation/region)
+    broadcasts; the only shuffle join is lineitem⋈orders, and the date
+    filter reaches the orders parquet scan."""
+    p = plan(spark, "q76_tpch_q5_shape", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p, p
+    assert "1996-01-01" in p and "PushedFilters" in p, p
