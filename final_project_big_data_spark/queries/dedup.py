@@ -436,3 +436,168 @@ def d07(spark: SparkSession, sf: str) -> DataFrame:
     nodes = mh.select("doc_id")
     cc = connected_components(nodes, pairs, id_col="doc_id")
     return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------- bloom-filter dedup
+
+_BLOOM_M = 16384  # bits; filter table is bounded by m regardless of corpus
+_BLOOM_K = 3  # hash functions = 3 disjoint md5 hex windows
+
+
+def _bloom_positions():
+    """k bit positions per document fingerprint: three disjoint 8-hex-char
+    (32-bit) windows of one md5, each mod m. One digest, k positions —
+    same cost discipline as the MinHash base hash."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5("text"), 1 + 8 * j, 8), 16, 10
+                ).cast("long")
+                % _BLOOM_M
+            )
+            for j in range(_BLOOM_K)
+        ]
+    )
+
+
+_BLOOM_POS_SQL = ", ".join(
+    f"CAST('0x' || substr(md5(text), {1 + 8 * j}, 8) AS BIGINT) % {_BLOOM_M}"
+    for j in range(_BLOOM_K)
+)
+
+
+@query(
+    "d08_bloom_filter_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, [{_BLOOM_POS_SQL}] AS ps FROM documents
+    ),
+    ref AS (
+      SELECT DISTINCT unnest(ps) AS pos FROM fp WHERE len(source) = 4
+    ),
+    probe AS (
+      SELECT doc_id, unnest(ps) AS pos FROM fp WHERE len(source) > 4
+    )
+    SELECT probe.doc_id,
+           count(ref.pos) = {_BLOOM_K} AS might_dup
+    FROM probe LEFT JOIN ref ON probe.pos = ref.pos
+    GROUP BY probe.doc_id ORDER BY probe.doc_id
+    """,
+    category="dedup",
+)
+def d08(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter incremental dedup: screen an incoming batch against an
+    already-ingested corpus without joining on full fingerprints.
+
+    The "filter" is the relational form of a Bloom bitmap: the DISTINCT set
+    of set bit positions, at most m = {m} rows — **bounded by m, not by
+    corpus size**, so it broadcasts at any scale (a 100-TB reference corpus
+    still compresses to ≤ m longs). Probes explode to (doc_id, pos) and
+    broadcast-join the position set; a doc is ``might_dup`` iff all k of
+    its positions are set (count == k), the standard no-false-negative /
+    tunable-false-positive Bloom semantics. No shuffle touches the
+    reference corpus after the one distinct-positions aggregation.
+
+    Reference half = sources 'src0'..'src9' (name length 4); probe half =
+    'src10'..'src19'. Fully oracle-checked: both engines derive positions
+    from the same md5 windows.
+    """
+    fp = load_table(spark, sf, "documents").select(
+        "doc_id", "source", _bloom_positions().alias("ps")
+    )
+    ref = (
+        fp.filter(F.length("source") == 4)
+        .select(F.explode("ps").alias("pos"))
+        .distinct()
+    )
+    probe = fp.filter(F.length("source") > 4).select(
+        "doc_id", F.explode("ps").alias("pos")
+    )
+    return (
+        probe.join(F.broadcast(ref.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.count("_set") == _BLOOM_K).alias("might_dup"))
+        .orderBy("doc_id")
+    )
+
+
+d08.__doc__ = d08.__doc__.format(m=_BLOOM_M)
+
+
+# ------------------------------------------------------ passage-level dedup
+
+_CHUNK_WORDS = 8  # non-overlapping passage width, in words
+
+
+@query(
+    "d09_chunk_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(len(w) // {_CHUNK_WORDS} AS INT) - 1),
+               i -> array_to_string(
+                      w[{_CHUNK_WORDS}*i + 1 : {_CHUNK_WORDS}*(i + 1)], ' ')
+             )) AS chunk
+      FROM w
+    ),
+    cnt AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS freq FROM ch
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           ROUND(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d09(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage-level exact dedup: split every document into non-overlapping
+    {cw}-word chunks and score each document by the fraction of its chunks
+    that occur anywhere else in the corpus (the sequence-level dedup signal
+    used to strip boilerplate/templated spans from LLM training corpora).
+
+    Plan: one explode (docs → chunks), ONE shuffle on the chunk text for a
+    chunk-partitioned count window, then the per-doc re-aggregation —
+    Catalyst reuses nothing across stages wider than needed, and no
+    all-pairs comparison exists at any point. At 100 TB the chunk shuffle
+    key should be md5(chunk) (8-byte prefix) rather than raw text; raw
+    text is kept here so the fixture oracle stays byte-identical.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", _words().alias("w")
+    )
+    n_chunks = (F.size("w") / _CHUNK_WORDS).cast("int")
+    chunk_expr = F.expr(
+        f"transform(sequence(1, size(w) div {_CHUNK_WORDS}),"
+        f" i -> array_join(slice(w, {_CHUNK_WORDS} * (i - 1) + 1,"
+        f" {_CHUNK_WORDS}), ' '))"
+    )
+    from pyspark.sql import Window as W
+
+    chunks = d.filter(n_chunks >= 1).select(
+        "doc_id", F.explode(chunk_expr).alias("chunk")
+    )
+    with_freq = chunks.withColumn(
+        "freq", F.count(F.lit(1)).over(W.partitionBy("chunk"))
+    )
+    dup = F.sum((F.col("freq") >= 2).cast("long"))
+    return (
+        with_freq.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup / F.count("*"), 4).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+d09.__doc__ = d09.__doc__.format(cw=_CHUNK_WORDS)
