@@ -240,3 +240,93 @@ def a06(spark: SparkSession, sf: str) -> DataFrame:
             "top_in_freq_items"
         ),
     )
+
+
+@query(
+    "a07_reservoir_sample",
+    oracle="""
+    WITH rk AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM rk WHERE rn <= 5 ORDER BY lang, rn
+    """,
+    category="approx",
+)
+def a07(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-stratum reservoir sample: exactly k=5 docs per
+    language, chosen uniformly by ranking on a content-independent hash of
+    the key (the distributed, reproducible replacement for a stateful
+    reservoir — same marginal distribution, no sequential state).
+
+    Unlike ``sampleBy`` (Bernoulli, only *expected* fraction), this yields
+    an exact-size sample, and re-runs are identical on identical input —
+    the property a training-data pipeline needs for resumable corpus
+    subsetting. Plan: one shuffle on lang for the rank window. At 100 TB
+    prepend a Bernoulli hash pre-filter (keep rows with hash below a
+    quantile safely above rank k) so the window sorts a small survivor set
+    instead of each full stratum; at fixture scale the direct window is
+    the identical result.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("lang", "doc_id", rn.alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .withColumn("rn", F.col("rn").cast("long"))
+        .orderBy("lang", "rn")
+    )
+
+
+@query(
+    "a08_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 1) / 4294967296.0)
+             / n_chars AS raw_key
+      FROM documents
+    )
+    -- ORDER BY the raw key: naming the output ROUND(...) AS sel_key would
+    -- shadow it and select by the 4-digit rounding's doc_id tie-break
+    SELECT doc_id, n_chars, ROUND(raw_key, 4) AS sel_key
+    FROM keyed ORDER BY raw_key, doc_id LIMIT 10
+    """,
+    category="approx",
+)
+def a08(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    priority ``-ln(u)/w`` with weight w = n_chars and a deterministic
+    md5-derived uniform u ∈ (0, 1]; the k=10 smallest priorities are the
+    sample. P(selection) ∝ weight, reproducible across runs/engines.
+
+    The distributed shape is the whole point: priorities are map-only and
+    ``ORDER BY … LIMIT k`` compiles to TakeOrderedAndProject — each
+    partition keeps a k-row heap, the driver merges k×partitions rows.
+    One pass, no global sort, no RNG state — this is how you draw a
+    10M-doc weighted subset from a 100-TB corpus in one job.
+    """
+    d = load_table(spark, sf, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key.alias("sel_key"))
+        .orderBy("sel_key", "doc_id")
+        .limit(10)
+        .withColumn("sel_key", F.round("sel_key", 4))
+    )
