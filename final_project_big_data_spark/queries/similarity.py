@@ -426,3 +426,81 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+_KNN_K = 3
+
+
+@query(
+    "s04_knn_self_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cs
+      FROM e a JOIN e b
+        ON a.label = b.label AND a.vec_id != b.vec_id
+    )
+    SELECT vec_id, neighbor_id, round(cs, 4) AS cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_KNN_K}
+    ORDER BY vec_id, rank
+    """,
+    category="similarity",
+)
+def s04(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked kNN self-join: every vector's top-k cosine neighbors within
+    its label block — the corpus×corpus companion to s01's few-probes
+    shape (near-dup mining, cluster-local retrieval).
+
+    Scale shape: the self-join is an EQUI-join on the block key, so both
+    sides shuffle once on ``label`` and pair generation is O(block²) per
+    block, never corpus². Norms are hoisted per row before the join (one
+    dot product per pair, not three). The top-k window re-uses the
+    ``vec_id`` side of the same shuffle. At 100 TB the block key becomes a
+    trained partition (IVF centroid / LSH bucket — s02/s03); the plan is
+    unchanged.
+    """
+    e = widen(load_table(spark, sf, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = en.select(
+        F.col("vec_id"), F.col("label"), F.col("v"), F.col("nv")
+    )
+    b = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nb_label"),
+        F.col("v").alias("nb_v"),
+        F.col("nv").alias("nb_nv"),
+    )
+    scored = a.join(
+        b,
+        (F.col("label") == F.col("nb_label"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        (_dot(F.col("v"), F.col("nb_v")) / (F.col("nv") * F.col("nb_nv"))).alias(
+            "cs"
+        ),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            "vec_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank"
+        )
+        .orderBy("vec_id", "rank")
+    )

@@ -343,3 +343,104 @@ def t07(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t08_pii_redaction",
+    oracle="""
+    WITH blob AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+             || '@mail.example> or user' || CAST(c_custkey AS VARCHAR)
+             || '@backup.example, tel 555-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+             || '-' || CAST(c_nationkey AS VARCHAR)
+             || ' / 555-' || lpad(CAST(c_nationkey AS VARCHAR), 4, '0')
+             || '-99' AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(contact,
+               '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'),
+             '555-[0-9]{4}-[0-9]+', '[PHONE]', 'g') AS redacted
+    FROM blob ORDER BY c_custkey
+    """,
+    category="text",
+)
+def t08(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction — the pre-training scrub pass: mask every email and
+    phone-shaped span with typed placeholders, all occurrences per row
+    (two emails + two phones per blob exercise global replacement;
+    DuckDB needs the explicit 'g' flag to match Spark's
+    replace-all ``regexp_replace`` semantics).
+
+    The PII-shaped text is composed deterministically from customer fields
+    (the slimmed fixture has no phone column) so both engines redact the
+    identical byte stream. MAP-ONLY: zero shuffles, pushdown-friendly —
+    the redaction cost at 100 TB is exactly one regex pass per row, and
+    the patterns are anchored enough (literal '@', '555-') to stay out of
+    catastrophic-backtracking territory in Java's engine.
+    """
+    c = load_table(spark, sf, "customer")
+    key = F.col("c_custkey").cast("string")
+    contact = F.concat(
+        F.lit("reach "), F.col("c_name"),
+        F.lit(" <user"), key, F.lit("@mail.example> or user"), key,
+        F.lit("@backup.example, tel 555-"), F.lpad(key, 4, "0"),
+        F.lit("-"), F.col("c_nationkey").cast("string"),
+        F.lit(" / 555-"), F.lpad(F.col("c_nationkey").cast("string"), 4, "0"),
+        F.lit("-99"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, r"[a-z0-9]+@[a-z]+\.[a-z]+", "[EMAIL]"),
+        r"555-[0-9]{4}-[0-9]+",
+        "[PHONE]",
+    )
+    return c.select("c_custkey", redacted.alias("redacted")).orderBy(
+        "c_custkey"
+    )
+
+
+@query(
+    "t09_top_bigrams",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM w
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+    category="text",
+)
+def t09(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level top-k bigram counts — the vocabulary/collocation scan
+    behind tokenizer training and contamination screens.
+
+    Shape at scale: explode is map-side, the count aggregate is
+    partial-then-final (map-side combine collapses each partition's
+    repeated bigrams before the single shuffle), and the top-20 compiles
+    to TakeOrderedAndProject — no global sort of the n-gram vocabulary.
+    Unlike t06's per-doc model, output size is k regardless of corpus
+    size.
+    """
+    d = widen(load_table(spark, sf, "documents")).select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
