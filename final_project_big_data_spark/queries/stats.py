@@ -519,3 +519,53 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q78_time_range_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    )
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_cnt,
+           ROUND(sum(value) OVER w, 4) AS trailing_sum
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    category="window",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-based RANGE frame: per user, count/sum of events in the
+    trailing 10 minutes of *event time* (the rate-limit / burst-detection
+    window). Completes q49's value-RANGE with the time-interval case.
+
+    Frame membership is defined on epoch seconds on BOTH engines (Spark's
+    ``rangeBetween`` takes long offsets; DuckDB orders by the same
+    truncated-second column), so ties inside one second are
+    frame-inclusive and the result is order-independent. One shuffle on
+    user_id; the running frame is a single sort within partitions — no
+    self-join materializes the 10-minute neighborhood.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
+        F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
+    ).orderBy("event_id")

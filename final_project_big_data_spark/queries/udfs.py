@@ -250,3 +250,125 @@ def u06(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY o.o_orderkey, s.part_no
         """
     )
+
+
+# ------------------------------------------------- cogrouped applyInPandas
+
+
+@query(
+    "u07_cogrouped_pandas",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(coalesce(sum(o.o_totalprice), 0), 4) AS total_spend,
+           ROUND(max(c.c_acctbal), 4) AS acctbal
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 200
+    GROUP BY c.c_custkey ORDER BY c.c_custkey
+    """,
+    category="udf",
+)
+def u07(spark: SparkSession, sf: str) -> DataFrame:
+    """``cogroup(...).applyInPandas`` — the two-sided grouped-UDF surface:
+    each key's customer rows AND order rows arrive as a pandas frame pair,
+    here merged into a per-customer spend profile.
+
+    Both sides shuffle once on the key (a cogroup is exactly a co-
+    partitioned join at the physical level); the Python stage sees one
+    bounded key group at a time. Same caveat as u03: heavy-hitter keys
+    belong in the built-in join/agg path (the oracle's plan) — cogroup is
+    for genuinely imperative per-key merges (model scoring, rule engines)
+    that SQL can't express.
+    """
+
+    def profile(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
+            )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cust["c_custkey"].iloc[0])],
+                "n_orders": [len(orders)],
+                "total_spend": [round(float(orders["o_totalprice"].sum()), 4)],
+                "acctbal": [round(float(cust["c_acctbal"].max()), 4)],
+            }
+        )
+
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            profile,
+            schema="c_custkey bigint, n_orders bigint, "
+            "total_spend double, acctbal double",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ------------------------------------------------------------- mapInArrow
+
+
+@query(
+    "u08_arrow_batch_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
+             AS charge
+    FROM lineitem WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    category="udf",
+)
+def u08(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy batch surface below mapInPandas: the
+    UDF receives raw ``pyarrow.RecordBatch``es (no pandas conversion, no
+    index materialization) and answers with Arrow compute kernels.
+
+    This is the right slot for columnar libraries that speak Arrow
+    natively (vectorized tokenizers, image codecs): per-batch overhead is
+    one FFI hop. The arithmetic here is deliberately the TPC-H charge
+    expression so the oracle is plain SQL; the *surface* (Arrow in/out,
+    batch-at-a-time) is what's under test. Filter sits BEFORE the UDF so
+    parquet pushdown still applies.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            price = b.column("l_extendedprice")
+            disc = b.column("l_discount")
+            tax = b.column("l_tax")
+            # no pc.round here: Arrow rounds half-to-even, DuckDB/Spark
+            # ROUND rounds half-away — final rounding stays in F.round
+            ch = pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), ch],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+            "l_tax",
+        )
+        .mapInArrow(
+            charge,
+            schema="l_orderkey bigint, l_linenumber int, charge double",
+        )
+        .withColumn("charge", F.round("charge", 4))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
