@@ -319,9 +319,14 @@ def u07(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "u08_arrow_batch_map",
     oracle="""
+    -- the charge product has exactly <= 6 decimal digits (2+2+2), so
+    -- casting the double to DECIMAL(18,6) recovers the exact product on
+    -- both engines BEFORE rounding; rounding the raw double instead is
+    -- engine-dependent at .XXXX5 boundaries (Spark rounds the shortest
+    -- repr half-up, DuckDB rounds the binary value)
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
-             AS charge
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6)), 4) AS DECIMAL(18,4)) AS charge
     FROM lineitem WHERE l_orderkey < 500
     ORDER BY l_orderkey, l_linenumber
     """,
@@ -369,6 +374,11 @@ def u08(spark: SparkSession, sf: str) -> DataFrame:
             charge,
             schema="l_orderkey bigint, l_linenumber int, charge double",
         )
-        .withColumn("charge", F.round("charge", 4))
+        .withColumn(
+            "charge",
+            F.round(F.col("charge").cast("decimal(18,6)"), 4).cast(
+                "decimal(18,4)"
+            ),
+        )
         .orderBy("l_orderkey", "l_linenumber")
     )
