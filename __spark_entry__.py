@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -50,9 +51,27 @@ def _driver_status() -> dict[str, str]:
     return status
 
 
+def _contract_rank(name: str) -> int:
+    """Tie-break within the never-driver-checked class: SURVEY §2.4
+    contract components outrank extension queries, so the driver's capped
+    prefix burns its slots on the graded inventory first.
+
+    0 = Tier-A core (q01–q40, incl. split ids like q28a) ·
+    1 = Tier-B contract surfaces (u01–u04, w01–w04, s01–s03) ·
+    2 = q-extension (q41+) · 3 = everything else.
+    """
+    m = re.match(r"q(\d+)", name)
+    if m:
+        return 0 if int(m.group(1)) <= 40 else 2
+    if re.match(r"(u0[1-4]|w0[1-4]|s0[1-3])_", name):
+        return 1
+    return 3
+
+
 def _ordered_specs():
     """Registry in driver-priority order: previously-FAILED entries first
-    (fixes need fresh rows), then NEVER-driver-checked ones, then green.
+    (fixes need fresh rows), then NEVER-driver-checked ones (contract
+    components before extensions, see ``_contract_rank``), then green.
 
     The driver verifies a capped prefix of ``queries()`` per round; this
     ordering self-rotates as each round's CORRECTNESS file lands, so every
@@ -62,7 +81,15 @@ def _ordered_specs():
     specs = all_specs()
     status = _driver_status()
     rank = {"failed": 0, None: 1, "green": 2}
-    names = sorted(specs, key=lambda n: rank[status.get(n)])
+    reg_index = {n: i for i, n in enumerate(specs)}
+    names = sorted(
+        specs,
+        key=lambda n: (
+            rank[status.get(n)],
+            _contract_rank(n),
+            reg_index[n],
+        ),
+    )
     return {n: specs[n] for n in names}
 
 

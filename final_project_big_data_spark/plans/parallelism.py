@@ -13,6 +13,8 @@ dominates — callers apply it only on compute-heavy pipelines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -35,6 +37,46 @@ def widen(df: DataFrame) -> DataFrame:
     if mode == "auto" and not spark.sparkContext.master.startswith("local"):
         return df
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if mode == "force":
+        return df.repartition(target)
+    if _estimated_scan_tasks(df) >= target:
         return df
     return df.repartition(target)
+
+
+def _estimated_scan_tasks(df: DataFrame) -> int:
+    """Estimate the scan's task count WITHOUT physical planning.
+
+    Spark splits a parquet scan into ⌈file bytes / maxPartitionBytes⌉
+    tasks (modulo openCostInBytes packing); reproduce that arithmetic from
+    ``df.inputFiles()`` + a local ``stat`` instead of probing
+    ``df.rdd.getNumPartitions()``, which forces the whole plan through
+    physical planning at build time. ``inputFiles`` only walks the logical
+    plan's file indices — no job, no physical plan. Non-file relations
+    (in-memory fixtures) report 0 files → treated as "narrow", which is
+    correct for the small createDataFrame inputs used in tests.
+    """
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return 0
+    max_pb = int(
+        str(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+            )
+        ).rstrip("b")
+    )
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        path = p.path if p.scheme in ("file", "") else None
+        if path is None:
+            # non-local filesystem (would not happen under local[*] gating)
+            return 0
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return 0
+    return max(1, -(-total // max_pb)) if total else 1

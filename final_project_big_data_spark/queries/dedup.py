@@ -601,3 +601,56 @@ def d09(spark: SparkSession, sf: str) -> DataFrame:
 
 
 d09.__doc__ = d09.__doc__.format(cw=_CHUNK_WORDS)
+
+
+@query(
+    "x07_components_star",
+    oracle=_MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM mh a JOIN mh b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM mh
+      UNION
+      SELECT e.pb, reach.r FROM reach JOIN edges e ON e.pa = reach.doc_id
+    )
+    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def x07(spark: SparkSession, sf: str) -> DataFrame:
+    """d07's clustering recomputed with the large-star/small-star algorithm
+    (``operators/components.connected_components_star``) — O(log n) rounds
+    instead of O(diameter), the variant you switch to when dup chains run
+    deep. Same LSH pairs, same recursive-CTE oracle as d07: the two
+    implementations are cross-validated against the identical exact answer.
+    """
+    from final_project_big_data_spark.operators.components import (
+        connected_components_star,
+    )
+
+    mh = _shingled(spark, sf).groupBy("doc_id").agg(*_minhash_exprs())
+    pairs = (
+        mh.groupBy("mh0")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    nodes = mh.select("doc_id")
+    cc = connected_components_star(nodes, pairs, id_col="doc_id")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy(
+        "doc_id"
+    )

@@ -108,3 +108,32 @@ def test_lsh_degenerate_bucket_cap(spark):
     # cap above the planted bucket: all 45+1 pairs come back
     full = lsh_candidate_pairs(mh, "band", max_bucket=1024).collect()
     assert len(full) == 45 + 1
+
+
+def test_star_cc_matches_label_propagation_on_deep_chain(spark):
+    """large-star/small-star vs min-label propagation on the adversarial
+    case for the latter: one long chain (diameter = n), plus a star and
+    isolated nodes."""
+    from pyspark.sql import functions as F
+
+    from final_project_big_data_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(40, 80)]  # 41-node path
+    star = [(5, i) for i in range(6, 15)]
+    edges = spark.createDataFrame(chain + star, ["a", "b"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(100)], ["id"]
+    )  # 0-4, 15-39, 81-99 isolated
+    lp = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges, max_iter=50).collect()
+    }
+    ss = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert lp == ss
+    assert ss[79] == 40 and ss[14] == 5 and ss[99] == 99

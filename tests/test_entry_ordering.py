@@ -55,10 +55,13 @@ def test_later_green_overrides_earlier_failure(fake_rounds):
     assert list(E.queries())[-1] == "q01_scan_project"
 
 
-def test_no_round_files_keeps_registration_order(fake_rounds):
+def test_no_round_files_sorts_by_contract_rank_then_registration(fake_rounds):
     from final_project_big_data_spark.queries import all_specs
 
-    assert list(E.queries()) == list(all_specs())
+    specs = list(all_specs())
+    reg = {n: i for i, n in enumerate(specs)}
+    expect = sorted(specs, key=lambda n: (E._contract_rank(n), reg[n]))
+    assert list(E.queries()) == expect
 
 
 def test_oracle_sql_subset_and_alignment():
@@ -70,3 +73,29 @@ def test_oracle_sql_subset_and_alignment():
     assert {n for n, s in all_specs().items() if s.oracle is None} == (
         set(qs) - set(osql)
     )
+
+
+def test_contract_core_outranks_extensions_within_unchecked(fake_rounds):
+    """With one green row recorded, the never-checked class must surface
+    SURVEY §2.4 contract components (q01–q40, u/w/s contract ids) before
+    extension queries — the driver's ~50-entry cap has to land on the
+    graded inventory first."""
+    fake_rounds(1, {"q01_scan_project": _GREEN})
+    names = list(E.queries())
+    # every Tier-A core + contract-surface entry precedes every extension
+    core = [n for n in names if E._contract_rank(n) in (0, 1)
+            and n != "q01_scan_project"]
+    ext = [n for n in names if E._contract_rank(n) in (2, 3)]
+    assert max(names.index(n) for n in core) < min(names.index(n) for n in ext)
+    assert names[-1] == "q01_scan_project"  # green sorts behind everything
+
+
+def test_contract_rank_classes():
+    assert E._contract_rank("q28a_union_all") == 0
+    assert E._contract_rank("q40_json_roundtrip") == 0
+    assert E._contract_rank("q41_stats_agg") == 2
+    assert E._contract_rank("u03_grouped_udaf") == 1
+    assert E._contract_rank("w04_time_rollup") == 1
+    assert E._contract_rank("s03_ivf_ann_topk") == 1
+    assert E._contract_rank("s04_knn_self_join") == 3
+    assert E._contract_rank("d03_minhash_lsh_pairs") == 3
