@@ -51,6 +51,7 @@ def all_specs() -> dict[str, QuerySpec]:
         similarity,
         stats,
         streamlike,
+        subqueries,
         textops,
         udfs,
     )

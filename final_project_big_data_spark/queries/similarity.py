@@ -270,12 +270,11 @@ def _lloyd_refine(en: DataFrame, cents: DataFrame) -> DataFrame:
     ).withColumn("nc", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
 
 
-def _s03_sql() -> str:
-    """Full DuckDB mirror of the IVF plan, Lloyd pass included. The seeded
-    md5 init, the 8-decimal quantized per-dim means, and bit-exact dot
-    products make every stage replayable; argmax tie-breaks mirror the
-    Spark plan exactly (struct-max → aff DESC, centroid_id DESC; probe
-    ranking → aff DESC, centroid_id ASC)."""
+def _ivf_assign_sql() -> str:
+    """DuckDB mirror of the trained-IVF assignment (init → one Lloyd pass
+    → final per-vector centroid), shared by s03's ANN oracle and d10's
+    SemDeDup oracle. Ends at CTE ``assigned2`` = (vec_id, v, nv,
+    centroid_id)."""
     return f"""
     WITH en AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -319,7 +318,16 @@ def _s03_sql() -> str:
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY aff DESC, centroid_id DESC) AS rn FROM aff2)
       WHERE rn = 1
-    ),
+    )"""
+
+
+def _s03_sql() -> str:
+    """Full DuckDB mirror of the IVF plan, Lloyd pass included. The seeded
+    md5 init, the 8-decimal quantized per-dim means, and bit-exact dot
+    products make every stage replayable; argmax tie-breaks mirror the
+    Spark plan exactly (struct-max → aff DESC, centroid_id DESC; probe
+    ranking → aff DESC, centroid_id ASC)."""
+    return _ivf_assign_sql() + f""",
     probes AS (
       SELECT vec_id AS query_id, v AS qv, nv AS nq,
              centroid_id AS probe_centroid
@@ -342,29 +350,13 @@ def _s03_sql() -> str:
     """
 
 
-@query("s03_ivf_ann_topk", oracle=_s03_sql(), category="similarity")
-def s03(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-bucketed ANN: coarse quantize → inverted-list equi-join → exact
-    cosine re-rank. The second scale path next to s02's LSH.
-
-    Coarse centroids are TRAINED: a deterministic seeded init (the 16
-    smallest ``md5(vec_id)`` rows — a uniform pseudo-random sample with no
-    density assumption on vec_ids) refined by one Lloyd pass
-    (``_lloyd_refine``). MLlib ``KMeans.fit`` would be eager — it runs
-    jobs at build time — so the training is expressed as lazy DataFrame
-    ops instead; a cluster deployment would persist the trained centers
-    once and reuse them across queries. Assignment is a broadcast
-    nested-loop against the 16-row centroid table followed by an argmax
-    aggregation keyed on ``vec_id`` — one shuffle, map-side combinable.
-    Candidates then come from an equi-join on ``centroid_id`` (nprobe=2 on
-    the query side), so the corpus is never cross-joined: O(n·16)
-    assignment + O(n·k/B·nprobe) candidate scoring, both linear in corpus
-    size and partitionable across any number of executors.
-
-    Verified by recall@k against s01 plus determinism
-    (tests/test_similarity.py); rows-only driver check. No eager job runs
-    at build time (pinned in tests/test_similarity.py).
-    """
+def _ivf_assigned(spark: SparkSession, sf: str):
+    """Trained-IVF assignment shared by s03 (ANN) and d10 (SemDeDup):
+    seeded md5 init → one Lloyd pass (``_lloyd_refine``) → per-vector
+    argmax centroid. Returns (aff, assigned): ``aff`` keeps every
+    (vector, centroid) affinity struct for probe ranking; ``assigned`` is
+    the final (vec_id, v, nv, centroid_id). Mirrors ``_ivf_assign_sql``
+    bit-for-bit (8-decimal quantized centroid means)."""
     e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -395,6 +387,33 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
         F.first("v").alias("v"),
         F.first("nv").alias("nv"),
     )
+    return aff, assigned
+
+
+@query("s03_ivf_ann_topk", oracle=_s03_sql(), category="similarity")
+def s03(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN: coarse quantize → inverted-list equi-join → exact
+    cosine re-rank. The second scale path next to s02's LSH.
+
+    Coarse centroids are TRAINED: a deterministic seeded init (the 16
+    smallest ``md5(vec_id)`` rows — a uniform pseudo-random sample with no
+    density assumption on vec_ids) refined by one Lloyd pass
+    (``_lloyd_refine``). MLlib ``KMeans.fit`` would be eager — it runs
+    jobs at build time — so the training is expressed as lazy DataFrame
+    ops instead; a cluster deployment would persist the trained centers
+    once and reuse them across queries. Assignment is a broadcast
+    nested-loop against the 16-row centroid table followed by an argmax
+    aggregation keyed on ``vec_id`` — one shuffle, map-side combinable.
+    Candidates then come from an equi-join on ``centroid_id`` (nprobe=2 on
+    the query side), so the corpus is never cross-joined: O(n·16)
+    assignment + O(n·k/B·nprobe) candidate scoring, both linear in corpus
+    size and partitionable across any number of executors.
+
+    Verified by recall@k against s01 plus determinism
+    (tests/test_similarity.py); rows-only driver check. No eager job runs
+    at build time (pinned in tests/test_similarity.py).
+    """
+    aff, assigned = _ivf_assigned(spark, sf)
     # query side: top-nprobe centroids per probe vector
     wq = W.partitionBy("vec_id").orderBy(F.desc(F.col("ac.aff")), F.asc(F.col("ac.centroid_id")))
     probes = (
@@ -503,4 +522,70 @@ def s04(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank"
         )
         .orderBy("vec_id", "rank")
+    )
+
+
+_SEMDEDUP_TAU = 0.4  # cosine threshold: above it, the larger id is dropped
+
+
+@query(
+    "d10_semdedup",
+    oracle=_ivf_assign_sql()
+    + f""",
+    pairs AS (
+      SELECT a.vec_id AS ka, b.vec_id AS kb,
+             list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cs
+      FROM assigned2 a JOIN assigned2 b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT kb AS vec_id, min(ka) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           ROUND(min_by(cs, ka), 4) AS keeper_cos
+    FROM pairs WHERE cs > {_SEMDEDUP_TAU}
+    GROUP BY kb ORDER BY vec_id
+    """,
+    category="dedup",
+)
+def d10(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal via
+    embedding clustering — cluster the corpus with the trained IVF coarse
+    quantizer (shared with s03), then WITHIN each cluster drop every
+    vector that has a smaller-id neighbor above cosine τ=0.4, reporting
+    the kept representative and its similarity.
+
+    This is the scale-defining trick of semantic dedup: the O(n²) cosine
+    matrix is never built — pairs exist only inside a cluster (equi-join
+    on ``centroid_id``), so cost is Σ|cluster|², tuned by the centroid
+    count (√n centroids → ~n pairs total). The pair join shuffles on
+    centroid_id; skewed clusters are the known failure mode and the cap
+    strategy from d03 (bucket-size limit) applies unchanged. Keeper
+    choice (min id) makes the pass deterministic and idempotent —
+    re-running on the deduped corpus drops nothing.
+    """
+    _, assigned = _ivf_assigned(spark, sf)
+    a = assigned.select(
+        F.col("vec_id").alias("ka"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("kb"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        "centroid_id",
+    )
+    cs = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb", cs.alias("cs"))
+        .filter(F.col("cs") > _SEMDEDUP_TAU)
+        .groupBy(F.col("kb").alias("vec_id"))
+        .agg(
+            F.min("ka").alias("keeper_id"),
+            F.count("*").alias("n_neighbors"),
+            F.round(F.min_by("cs", "ka"), 4).alias("keeper_cos"),
+        )
+        .orderBy("vec_id")
     )

@@ -444,3 +444,74 @@ def t09(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+_CONTAM_N = 4  # word n-gram width for the contamination screen
+_BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set
+
+
+@query(
+    "t10_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, len(w) - {_CONTAM_N - 1}),
+          i -> list_aggregate(w[i:i+{_CONTAM_N - 1}], 'string_agg', ' '))))
+        AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    bench AS (SELECT doc_id AS bench_id, g FROM sh
+              WHERE doc_id % {_BENCH_MOD} = 0)
+    SELECT s.doc_id,
+           CAST(count(DISTINCT s.g) AS BIGINT) AS n_shared_ngrams,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM sh s JOIN bench b ON s.g = b.g
+    WHERE s.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    category="text",
+)
+def t10(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination screen — the eval-leak detector every
+    LLM data pipeline runs before training: flag corpus documents sharing
+    ≥1 distinct word {n}-gram with a held-out benchmark set (here the
+    ``doc_id % {m} == 0`` slice plays the benchmark), reporting how many
+    n-grams leak and how many benchmark docs are hit.
+
+    Scale shape: both sides reduce to (doc, distinct-n-gram) via per-row
+    ``array_distinct`` (no shuffle), the contamination test is a plain
+    equi join ON THE N-GRAM — shuffles hash(n-gram), never a doc×doc
+    product — and the per-doc rollup is one partial-then-final aggregate.
+    At 100 TB the benchmark side is small enough to broadcast, making the
+    screen a map-only pass over the corpus; to cut the shuffled bytes of
+    the big side, join on ``xxhash64(n-gram)`` instead of the raw string
+    (not done here only because the oracle compares exact strings).
+    """
+    d = widen(load_table(spark, sf, "documents")).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    ngrams = F.expr(
+        f"transform(sequence(1, size(w) - {_CONTAM_N - 1}),"
+        f" i -> array_join(slice(w, i, {_CONTAM_N}), ' '))"
+    )
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(ngrams)).alias("g")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+    )
+    corpus = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+t10.__doc__ = t10.__doc__.format(n=_CONTAM_N, m=_BENCH_MOD)
