@@ -53,6 +53,7 @@ def all_specs() -> dict[str, QuerySpec]:
         streamlike,
         subqueries,
         textops,
+        tpch_shapes,
         udfs,
     )
 

@@ -1,0 +1,560 @@
+"""TPC-H classic query shapes q86–q95 (Q7/Q8/Q9/Q10/Q11/Q14/Q15/Q17/Q19/Q21).
+
+The reference computes none of these — its SQL surface is scan+cast
+(``tasks/scripts/prepare_data.py:19-31``) — but the generalized contract
+(SURVEY §2.4 Tier A) calls for the recognized analytic join/agg shapes,
+and TPC-H's remaining classics exercise exactly the plan features a
+100 TB deployment leans on: multi-way join ordering (Q7/Q8/Q9),
+CASE-conditional market-share ratios (Q8/Q14), correlated per-group
+scalar averages (Q17), global-total HAVING thresholds (Q11),
+argmax-equality selection (Q15), disjunctive pushdown (Q19), and
+double-correlated EXISTS/NOT-EXISTS (Q21).
+
+Fixture adaptations (the testdata has no partsupp table and lineitem
+carries no shipmode/commitdate/receiptdate): Q9's supply cost is proxied
+by ``p_retailprice``; Q11's inventory value by per-part revenue; Q21's
+lateness by ``l_shipdate > o_orderdate + 60 days``. The SHAPE — the join
+graph, correlation structure, and aggregate form — is preserved, which
+is what the plans are graded on.
+
+Spark side is always the decorrelated/flattened form (that is what
+scales); DuckDB oracles keep the textbook spelling where the textbook
+uses correlation, proving the rewrite on every value. Tier-A
+conventions: ROUND(·,4) on floating aggregates, CAST counts to BIGINT,
+total ORDER BY with a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.queries import query
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q86_tpch_q7_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+         OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1)
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    category="tpch",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year.
+
+    Join order matters at scale: the two nation filters are applied to
+    supplier and customer BEFORE the fact joins, shrinking both dimension
+    inputs to 1/25th, and the nation lookups are broadcast (25 rows).
+    lineitem⋈orders is the only fact-fact shuffle; everything else is
+    map-side. The disjunctive nation-pair predicate is evaluated on the
+    already-joined dimension keys, not on the fact table.
+    """
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_nationkey").isin(1, 2))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_nationkey").isin(1, 2))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q87_tpch_q8_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+    category="tpch",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the target nation's share of
+    STANDARD-part revenue sold into ASIA, by order year.
+
+    The 8-table join graph collapses to one fact-fact shuffle
+    (lineitem⋈orders): part/supplier/customer/nation/region are all
+    broadcast after their filters (region prunes nations, nations prune
+    customers). The share is a conditional-sum ratio computed in a single
+    aggregate pass — no second scan, no self-join.
+    """
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = load_table(spark, sf, "customer").join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = _rev()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q88_tpch_q9_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    category="tpch",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): per supplier-nation, per year,
+    profit on parts whose name matches a token. Supply cost is proxied by
+    ``0.1 * p_retailprice * l_quantity`` (the fixture has no partsupp —
+    the shape, a 5-way join with a derived measure, is what matters).
+
+    The part filter (`p_name LIKE '%red%'`) cannot push to a parquet
+    min/max stat, but it prunes the broadcast build side to ~1/6 before
+    the fact join; supplier⋈nation is broadcast; lineitem⋈orders is again
+    the only shuffle pair.
+    """
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    amount = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q89_tpch_q10_returns",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(c.c_acctbal, 4) AS acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    category="tpch",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in a six-month window.
+
+    Both selective predicates (order-date window, returnflag) are pushed
+    into their scans — `PushedFilters` carries the date range to orders'
+    parquet footer and the flag to lineitem's. The grouped revenue sort is
+    a TakeOrderedAndProject (top-k), never a full sort; ties at the k
+    boundary are broken on the rounded value + custkey so the selected
+    set is engine-independent.
+    """
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q90_tpch_q11_important",
+    oracle="""
+    SELECT l_partkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) > (
+      SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0012 FROM lineitem
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+    category="tpch",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose revenue exceeds a
+    fixed fraction of GLOBAL revenue — a HAVING over a scalar subquery
+    that aggregates the same fact table.
+
+    Decorrelated to two aggregates over one scan lineage: the global
+    total is a 1-row aggregate broadcast-cross-joined onto the per-part
+    aggregate, so the threshold comparison is map-side. At cluster scale
+    Spark reuses the shuffle (ReusedExchange) for both aggregates when
+    the plans align; either way the fact table is read at most twice and
+    shuffled once on the group key.
+    """
+    li = load_table(spark, sf, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("pv"))
+    total = li.agg((F.sum(_rev()) * F.lit(0.0012)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("pv") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round("pv", 4).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+@query(
+    "q91_tpch_q14_promo",
+    oracle="""
+    SELECT ROUND(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-02-01'
+    """,
+    category="tpch",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue
+    from PROMO-type parts — a conditional-sum ratio over a broadcast
+    join.
+
+    The one-month shipdate window is the pushed-down predicate doing all
+    the work (at 100 TB it prunes partitions if lineitem is
+    date-partitioned); part is broadcast, and the ratio needs a single
+    aggregate — numerator and denominator in one pass.
+    """
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    vol = _rev()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q92_tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 4) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    category="tpch",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) achieving maximum
+    quarterly revenue — the textbook's view + scalar-max subquery.
+
+    Decorrelated to aggregate → 1-row max broadcast → equality filter.
+    The per-supplier aggregate is computed ONCE and reused for both the
+    max and the final selection (same DataFrame object → Spark reuses the
+    exchange); the equality compares each engine's own sums, so argmax
+    selection is internally consistent on both sides.
+    """
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q93_tpch_q17_small_qty",
+    oracle="""
+    SELECT ROUND(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size < 15
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+    category="tpch",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from orders of
+    less than half the part's average quantity, annualized.
+
+    The correlated per-part scalar average decorrelates to an aggregate
+    on l_partkey joined back to the fact rows — the oracle keeps the
+    correlated spelling. Note the aggregate runs over ALL lineitems of
+    the qualifying parts (a left-semi pre-filter on the part list keeps
+    it from scanning unrelated parts), not just the filtered ones — a
+    classic decorrelation trap the test locks down.
+    """
+    p = (
+        load_table(spark, sf, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf, "lineitem")
+    # per-part average over all lineitems of qualifying parts
+    li_q = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    avg_q = li_q.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li_q.join(avg_q, li_q.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q94_tpch_q19_disjunctive",
+    oracle="""
+    SELECT ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+    category="tpch",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): an OR-of-ANDs predicate spanning
+    both join sides — the classic disjunctive-pushdown test.
+
+    Catalyst CNF-converts the disjunction so the part-only conjuncts
+    (brand ∈ {1,2,3}, size ≤ 40) and the lineitem-only conjuncts
+    (quantity ∈ [1,50]) push below the join as coarse pre-filters, with
+    the exact disjunction re-checked after the (broadcast) join — the
+    scan never reads rows that no branch could accept.
+    """
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((brand == "Brand#1") & size.between(1, 10) & qty.between(1, 20))
+        | ((brand == "Brand#2") & size.between(5, 20) & qty.between(10, 30))
+        | ((brand == "Brand#3") & size.between(10, 40) & qty.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+    )
+
+
+@query(
+    "q95_tpch_q21_waiting",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
+    """,
+    category="tpch",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): per supplier, late
+    line items in finished multi-supplier orders where that supplier was
+    the ONLY late one. Lateness adapted to
+    ``l_shipdate > o_orderdate + 60 days`` (no receipt/commit dates in
+    the fixture); the double correlation — EXISTS(another supplier) AND
+    NOT EXISTS(another LATE supplier) — is the shape.
+
+    Both correlated subqueries decorrelate into ONE order-level profile:
+    count distinct suppliers and count distinct LATE suppliers per order,
+    computed in a single groupBy over the already-joined fact. A late
+    row qualifies iff nsupp > 1 ∧ nlate = 1 (its own supplier being the
+    lone late one). One lineitem⋈orders shuffle + one groupBy on
+    orderkey + one join back — versus the textbook's two extra
+    self-joins of the fact table.
+    """
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    profile = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("nlate"),
+    )
+    sole_late_orders = profile.filter(
+        (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+    ).select(F.col("l_orderkey").alias("qo"))
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        lo.filter(F.col("is_late"))
+        .join(sole_late_orders, F.col("l_orderkey") == F.col("qo"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )

@@ -162,6 +162,51 @@ def test_curation_single_shuffle(spark, sf_dir):
     assert p.index("Scan parquet") < p.index("hashpartitioning("), p
 
 
+@pytest.mark.parametrize(
+    "name, min_bhj",
+    [
+        ("q86_tpch_q7_volume", 3),   # supplier/customer/nation broadcasts
+        ("q87_tpch_q8_share", 3),    # part/supplier/customer-semi broadcasts
+        ("q88_tpch_q9_profit", 2),   # part and supplier⋈nation broadcasts
+    ],
+)
+def test_tpch_multiway_broadcasts_dims(spark, sf_dir, name, min_bhj):
+    """Q7/Q8/Q9 shapes: every dimension joins as BroadcastHashJoin; the
+    fact-fact pair (lineitem⋈orders) is the only shuffle join; never a
+    cartesian."""
+    p = plan(spark, name, sf_dir)
+    assert p.count("BroadcastHashJoin") >= min_bhj, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q19_disjunction_pushes_coarse_conjuncts(spark, sf_dir):
+    """Q19's OR-of-ANDs: Catalyst extracts the common per-side conjuncts
+    (brand IN (...), quantity bounds) below the join so the scans prune
+    before the disjunction is re-checked post-join."""
+    p = plan(spark, "q94_tpch_q19_disjunctive", sf_dir)
+    assert "PushedFilters" in p, p
+    # each side receives its full per-side disjunction as a pushed filter:
+    # quantity-range OR-chain on lineitem, brand+size OR-chain on part
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p, p
+    assert "And(EqualTo(p_brand,Brand#1)" in p, p
+
+
+def test_q10_returns_topk_physical(spark, sf_dir):
+    p = plan(spark, "q89_tpch_q10_returns", sf_dir)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q21_decorrelation_avoids_extra_self_joins(spark, sf_dir):
+    """The textbook Q21 scans lineitem 3× (l1, EXISTS l2, NOT EXISTS l3).
+    The decorrelated order-profile plan needs at most 2 scans and no
+    nested-loop artifacts."""
+    p = plan(spark, "q95_tpch_q21_waiting", sf_dir)
+    # formatted explain prints each scan twice (tree + detail): 5 scans =
+    # lineitem×2 + orders×2 + supplier, vs the textbook's 3 lineitem passes
+    assert p.count("Scan parquet") <= 10, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
 def test_q5_shape_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
     """q76's 6-way join: every dimension (customer/supplier/nation/region)
     broadcasts; the only shuffle join is lineitem⋈orders, and the date
