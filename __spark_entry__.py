@@ -23,11 +23,17 @@ sys.path.insert(0, _HERE)
 from final_project_big_data_spark.queries import all_specs  # noqa: E402
 
 
-def _driver_status() -> dict[str, str]:
+def _driver_status(specs=None) -> dict[str, str]:
     """Fold every recorded CORRECTNESS_r*.json into {name: 'green'|'failed'}.
 
     Names absent from every round's file were never reached by the
     verification driver (it checks a capped subset per round).
+
+    A ``no_oracle`` rows-only pass only counts as green while the spec
+    still has no oracle: entries that have since GAINED an oracle (e.g.
+    mm02/mm03 in round 2) are treated as never-verified so the rotation
+    re-surfaces them for a real hash-checked row instead of letting a weak
+    historical pass park them at the back of the queue.
     """
     status: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
@@ -38,6 +44,9 @@ def _driver_status() -> dict[str, str]:
             continue
         for name, row in rows.items():
             if row.get("err") == "no_oracle":
+                spec = (specs or {}).get(name)
+                if spec is not None and spec.oracle is not None:
+                    continue  # weak row, spec now oracle-able → unverified
                 ok = row.get("spark_rows") is not None
             else:
                 ok = all(
@@ -79,7 +88,7 @@ def _ordered_specs():
     Stable within each class (registration order).
     """
     specs = all_specs()
-    status = _driver_status()
+    status = _driver_status(specs)
     rank = {"failed": 0, None: 1, "green": 2}
     reg_index = {n: i for i, n in enumerate(specs)}
     names = sorted(

@@ -64,31 +64,39 @@ def main() -> None:
     # warm up JVM / codegen so per-query numbers measure the plan
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    errors: dict[str, str] = {}
+
+    def _time_query(name: str, runs: int) -> float | None:
+        # min of N runs: the first pays one-time whole-stage-codegen javac
+        # compilation (~1s/query) that is amortized away in any real
+        # deployment; the min measures the executed plan. A broken builder
+        # records its error and must NOT kill the whole bench (round 2 lost
+        # its entire perf signal to one crashing query).
+        best = float("inf")
+        try:
+            for _ in range(runs):
+                df = specs[name].builder(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            return None
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # min of 3 runs: the first pays one-time whole-stage-codegen javac
-        # compilation (~1s/query) that is amortized away in any real
-        # deployment; the min measures the executed plan.
-        best = float("inf")
-        for _ in range(3):
-            df = specs[name].builder(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        t = _time_query(name, 3)
+        if t is not None:
+            timings[name] = t
 
     total = round(sum(timings.values()), 3)
 
     extras: dict[str, float] = {}
     for name in EXTRAS:
-        # min of 2: drop the one-time codegen compile, like HEADLINE
-        best = float("inf")
-        for _ in range(2):
-            df = specs[name].builder(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        extras[name] = round(best, 3)
+        t = _time_query(name, 2)
+        if t is not None:
+            extras[name] = t
 
     duck_total = None
     duck_queries: dict[str, float] = {}
@@ -108,12 +116,15 @@ def main() -> None:
         for name in HEADLINE:
             if not specs[name].oracle:
                 continue
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.execute(specs[name].oracle).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            duck_queries[name] = round(best, 3)
+            try:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(specs[name].oracle).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                duck_queries[name] = round(best, 3)
+            except Exception as e:  # noqa: BLE001
+                errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
         duck_total = round(sum(duck_queries.values()), 3)
     except Exception:
         pass
@@ -129,6 +140,8 @@ def main() -> None:
     if duck_total is not None:
         out["duckdb_total_sec"] = duck_total
         out["duckdb_queries"] = duck_queries
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

@@ -42,18 +42,83 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the contract and is asserted in tests rather than forced on the reader
     (forcing a schema would disable some Parquet filter pushdown paths).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); it is scanned as a
-    raw nanos long and converted to a microsecond timestamp with integer
-    division (``div 1000`` keeps full int64 precision — float division would
-    lose bits above 2^53), matching DuckDB's ns→µs truncation exactly.
+    ``events.ts`` has shipped in two fixture generations: parquet
+    TIMESTAMP(NANOS) (scanned as a raw nanos long under ``nanosAsLong``,
+    then truncated to µs with integer division — ``div 1000`` keeps full
+    int64 precision, matching DuckDB's ns→µs truncation exactly) and plain
+    µs TIMESTAMP (passes through untouched). The branch below keys on the
+    *scanned* dtype so either generation loads; any other drift raises via
+    ``_check_fixture_schema``.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     _pin_session_confs(spark)
+    # Per-(app, dir, table) DataFrame cache: Spark fires a footer/schema
+    # -inference metadata job on EVERY spark.read.parquet call, so without
+    # this an engine session re-reads the same footers once per builder
+    # (154× per registry sweep). DataFrames are immutable — handing every
+    # caller the same logical scan node is safe, and lets Catalyst see
+    # identical subplans for reuse. Bounded: |tables| × |sf dirs| × |apps|.
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet µs TIMESTAMP without isAdjustedToUTC scans as NTZ in
+            # Spark 4; with the session tz pinned UTC this cast is a pure
+            # type relabel (same µs value), restoring the TimestampType
+            # contract every downstream query was written against.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _check_fixture_schema(name, df)
+    _TABLE_CACHE[key] = df
     return df
+
+
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _check_fixture_schema(name: str, df: DataFrame) -> None:
+    """Fixture-drift tripwire: one loud, named error instead of N cryptic
+    downstream AnalysisExceptions when the driver regenerates testdata with
+    a changed column type (this exact failure cost round 2 its bench run —
+    ``events.ts`` moved ns-int64 → µs-timestamp under us).
+
+    Compares the scanned dtypes column-by-column against the documented
+    contract in ``TABLE_SCHEMAS``. Cheap (metadata only, no job) and cached
+    per (table, schema) so the check runs once per distinct shape.
+    """
+    expected = {f.name: f.dataType.simpleString() for f in TABLE_SCHEMAS[name].fields}
+    actual = dict(df.dtypes)
+    key = (name, tuple(sorted(actual.items())))
+    if key in _SCHEMA_OK:
+        return
+    missing = [c for c in expected if c not in actual]
+    drifted = {
+        c: (expected[c], actual[c])
+        for c in expected
+        if c in actual and actual[c] != expected[c]
+    }
+    if missing or drifted:
+        parts = []
+        if missing:
+            parts.append(f"missing columns {missing}")
+        for c, (want, got) in drifted.items():
+            parts.append(f"column {c!r} drifted: expected {want}, scanned {got}")
+        raise RuntimeError(
+            f"fixture drift in table {name!r}: " + "; ".join(parts) + ". "
+            "The on-disk parquet no longer matches TABLE_SCHEMAS — update "
+            "final_project_big_data_spark/schemas.py (and any dtype-dependent "
+            "load branch in io.load_table) for the new fixture generation."
+        )
+    _SCHEMA_OK.add(key)
+
+
+_SCHEMA_OK: set = set()
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

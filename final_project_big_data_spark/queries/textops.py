@@ -216,10 +216,14 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
     # a tf→df join would re-run the whole explode+aggregate for the join's
     # build side (no subplan reuse across a broadcast boundary).
     df = F.count("*").over(W.partitionBy("word"))
-    n_docs = d.count()
-    idf = F.log((F.lit(n_docs) + 1.0) / (df + 1.0)) + 1.0
+    # corpus size as a broadcast 1-row frame, NOT d.count(): builders are
+    # contractually lazy (zero jobs at build time), and at 100 TB an eager
+    # count here would serialize a full scan before the query even starts.
+    n = d.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (df + 1.0)) + 1.0
     return (
-        tf.withColumn("tfidf", F.round(F.col("tf") * idf, 4))
+        tf.crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 4))
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "word", "tf", "tfidf")
         .orderBy("doc_id", "word")

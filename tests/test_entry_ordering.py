@@ -42,10 +42,11 @@ def test_failed_first_then_unchecked_then_green(fake_rounds):
                     "m01_rf_prepare_train_score": _ROWS_ONLY})
     names = list(E.queries())
     assert names[0] == "q01_scan_project"  # failed → front of the queue
-    assert names[-1] in ("q02_filter_compare", "m01_rf_prepare_train_score")
-    # both checked-green rows sort behind every never-checked entry
-    assert names.index("q02_filter_compare") > len(names) - 3
-    assert names.index("m01_rf_prepare_train_score") > len(names) - 3
+    # the checked-green row sorts behind every never-checked entry
+    assert names[-1] == "q02_filter_compare"
+    # m01's historical rows-only pass no longer counts: its spec now has a
+    # real oracle, so it re-enters the never-verified class (NOT the back)
+    assert names.index("m01_rf_prepare_train_score") < len(names) - 1
 
 
 def test_later_green_overrides_earlier_failure(fake_rounds):
@@ -53,6 +54,20 @@ def test_later_green_overrides_earlier_failure(fake_rounds):
     fake_rounds(2, {"q01_scan_project": _GREEN})
     assert E._driver_status()["q01_scan_project"] == "green"
     assert list(E.queries())[-1] == "q01_scan_project"
+
+
+def test_no_oracle_green_reclassified_when_spec_gains_oracle(fake_rounds):
+    """A historical rows-only pass must stop counting as green once the
+    spec has a real oracle (mm02/mm03's round-2 situation): the entry
+    re-enters the never-verified class so the driver re-reaches it."""
+    from final_project_big_data_spark.queries import all_specs
+
+    specs = all_specs()
+    name = next(n for n, s in specs.items() if s.oracle is not None)
+    fake_rounds(1, {name: _ROWS_ONLY})
+    assert name not in E._driver_status(specs)
+    # without spec context the historical fold is unchanged (back-compat)
+    assert E._driver_status()[name] == "green"
 
 
 def test_no_round_files_sorts_by_contract_rank_then_registration(fake_rounds):

@@ -106,3 +106,26 @@ def test_binary_file_ingestion(spark, media, tmp_path):
         for r in df.collect()
     }
     assert got == blobs
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+@pytest.mark.parametrize("name", ["mm01_media_metadata", "mm02_media_features",
+                                  "mm03_frame_sampling"])
+def test_mm_oracle_all_sfs(spark, name, sf):
+    """VERDICT r2 ask #7: mm01–mm03 oracle-verified locally at every scale
+    factor BEFORE the driver re-reaches them (they were rows-only in r01;
+    the md5-chain oracles landed in r02 without ever seeing a driver row).
+    The synthetic media table is sf-independent (fixed N_MEDIA), but the
+    builders take sf_dir — this pins that the oracle holds under each.
+    """
+    from final_project_big_data_spark.queries import all_specs
+    from tests.oracle import compare, duckdb_connect
+
+    spec = all_specs()[name]
+    con = duckdb_connect(f"/root/testdata/sf{sf}")
+    try:
+        report = compare(spec.builder(spark, f"/root/testdata/sf{sf}"), con,
+                         spec.oracle)
+        assert report["ok"], f"{name}@sf{sf}: {report}"
+    finally:
+        con.close()
