@@ -26,7 +26,7 @@ total ORDER BY with a unique tiebreak.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
@@ -557,4 +557,253 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+# ----------------------------------------------------------- Q2/Q16/Q20/Q22
+# The four classics q86–q95 left out, closing the TPC-H shape catalogue
+# (Q1/Q3/Q4/Q6/Q12/Q13/Q18 shapes are already carried by Tier-A entries:
+# q15, q26/q14, q79, q02, q47, q82, q81). The fixture has no partsupp
+# table; the (l_partkey, l_suppkey) pairs of lineitem act as the
+# part–supplier bridge, with MIN(l_extendedprice / l_quantity) as the
+# order-independent (hence bit-reproducible cross-engine) unit-cost proxy.
+
+
+@query(
+    "q96_tpch_q2_min_cost",
+    oracle="""
+    WITH bridge AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT ROUND(s.s_acctbal, 4) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_name, ROUND(b.unit_cost, 4) AS unit_cost
+    FROM part p
+    JOIN bridge b ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 10 AND r.r_name = 'EUROPE'
+      AND b.unit_cost = (
+        SELECT MIN(b2.unit_cost)
+        FROM bridge b2
+        JOIN supplier s2 ON s2.s_suppkey = b2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE b2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    category="tpch",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each qualifying part, the
+    region's suppliers offering exactly the minimum unit cost — the
+    classic correlated-MIN scalar subquery against the same join tree.
+
+    Decorrelated the way it must run at 100 TB: ONE regional
+    part–supplier cost table is computed, and the per-part minimum is a
+    window MIN over it (no self-join of the whole join tree, which the
+    textbook correlation would naively re-execute per part). Dimension
+    tables (supplier/nation/region) broadcast; the bridge aggregation is
+    the only fact shuffle, keyed on (partkey, suppkey); the window MIN
+    re-shuffles only the already-aggregated bridge on partkey. The
+    min-equality match is on MIN(price/qty) — order-independent, so
+    bit-identical across engines (an AVG-based cost would drift with
+    accumulation order).
+    """
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    bridge = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = bridge.join(F.broadcast(dims), bridge.l_suppkey == dims.s_suppkey)
+    min_w = W.partitionBy("l_partkey")
+    best = regional.withColumn(
+        "min_cost", F.min("unit_cost").over(min_w)
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@query(
+    "q97_tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT b.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'SMALL'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND b.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    category="tpch",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) with a NOT IN exclusion list — the
+    classic anti-join + count-distinct rollup.
+
+    The exclusion list ("complaints" suppliers) is provably non-null
+    (s_suppkey is a key), so NOT IN rewrites to a plain left_anti join —
+    shuffleable, unlike the null-aware form q80 demonstrates. Part is
+    broadcast after its selective filters; the count-distinct groups on
+    (brand, type, size, suppkey) first (partial dedup map-side), then
+    counts — two shuffles of shrinking data, no expand.
+    """
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "SMALL")
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    )
+    bad = load_table(spark, sf, "supplier").filter(
+        F.col("s_name").like("%3")
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q98_tpch_q20_nested_in",
+    oracle="""
+    SELECT s.s_name, ROUND(s.s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'large%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01'
+                        THEN l_quantity ELSE 0 END)
+               > 0.5 * SUM(l_quantity))
+    ORDER BY s_name
+    """,
+    category="tpch",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    more than half of a qualifying part's total quantity inside one year
+    — nested IN subqueries with a correlated aggregate threshold.
+
+    The availqty comparison (no partsupp table here) becomes a
+    windowed-year vs all-time quantity ratio per (supplier, part),
+    computed as ONE conditional aggregate over a single lineitem scan —
+    not two scans joined, and never a per-supplier re-execution. The part
+    name filter semi-joins (broadcast) BEFORE the aggregate so the fact
+    shuffle only carries qualifying parts; the supplier IN is a semi join
+    against the tiny qualifying-supplier set; nation broadcasts.
+    """
+    li = load_table(spark, sf, "lineitem")
+    parts = load_table(spark, sf, "part").filter(
+        F.col("p_name").like("large%")
+    ).select("p_partkey")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    in_window = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_window, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_year"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_year") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q99_tpch_q22_global_avg_anti",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           ROUND(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000.0)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    category="tpch",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): well-funded customers
+    with no large orders, rolled up by segment — a scalar-average
+    subquery plus NOT EXISTS, the canonical anti-join + global-scalar
+    combination (phone-prefix grouping becomes c_mktsegment; the
+    "never ordered" arm becomes "never ordered big", which is non-empty
+    at every fixture sf).
+
+    The scalar average is a 1-row aggregate broadcast-cross-joined (no
+    driver action, no recompute per row); NOT EXISTS is a left_anti
+    against orders pre-filtered to >450k (the filter makes the anti
+    build side small enough to broadcast at any scale — at 100 TB the
+    anti join is on the FILTERED stream, never all of orders).
+    """
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -215,3 +215,43 @@ def test_q5_shape_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "CartesianProduct" not in p, p
     assert "1996-01-01" in p and "PushedFilters" in p, p
+
+
+def test_q2_shape_single_bridge_no_self_join_tree(spark, sf_dir):
+    """q96 (TPC-H Q2 shape): the textbook correlated MIN would re-execute
+    the supplier⋈nation⋈region join tree per part; the decorrelated plan
+    computes ONE regional bridge and takes a window MIN — so lineitem is
+    scanned once, all dims broadcast, and no nested-loop artifacts."""
+    p = plan(spark, "q96_tpch_q2_min_cost", sf_dir)
+    # formatted explain prints each scan twice (tree + detail)
+    assert p.count("Scan parquet") <= 12, p  # li+p+s+n+r+reuse, not 2×tree
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+def test_q16_shape_anti_join_not_null_aware(spark, sf_dir):
+    """q97 (Q16 shape): the NOT IN exclusion list is key-valued (provably
+    non-null) so the plan must carry a plain broadcast anti join, never
+    the single-threaded null-aware BroadcastNestedLoopJoin arm."""
+    p = plan(spark, "q97_tpch_q16_supplier_cnt", sf_dir)
+    assert "LeftAnti" in p, p
+    assert "NestedLoop" not in p, p
+
+
+def test_q20_shape_one_fact_aggregate(spark, sf_dir):
+    """q98 (Q20 shape): the year-window vs all-time quantity comparison is
+    ONE conditional aggregate over one lineitem scan — not two scans
+    joined; the part-name filter semi-joins before the aggregate."""
+    p = plan(spark, "q98_tpch_q20_nested_in", sf_dir)
+    assert p.count("Scan parquet") <= 8, p  # li+part+supp+nation, ×2 print
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q22_shape_scalar_broadcast_and_filtered_anti(spark, sf_dir):
+    """q99 (Q22 shape): the global average arrives as a broadcast 1-row
+    cross join (no driver action, no per-row recompute) and the NOT
+    EXISTS is an anti join against orders already filtered to >450k."""
+    p = plan(spark, "q99_tpch_q22_global_avg_anti", sf_dir)
+    assert "LeftAnti" in p, p
+    assert "GreaterThan(o_totalprice,450000.0)" in p, p
