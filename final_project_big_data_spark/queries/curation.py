@@ -114,3 +114,169 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "pred_lang", "quality", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- mixture + split (p02/p03)
+# Training-data plumbing the reference never had but a 100 TB corpus needs:
+# deterministic mixture sampling toward target language weights, and a
+# content-hash train/val/test split. Both use the md5→uniform idiom from
+# a08 (Efraimidis–Spirakis): no RNG state, identical row sets on every
+# engine/run/partitioning — the property that makes corpus builds
+# resumable and auditable.
+
+_MIX_WEIGHTS = {"en": 0.45, "fr": 0.20, "de": 0.15, "es": 0.12, "zh": 0.08}
+_MIX_BUDGET_FRAC = 0.4  # total mixture size: 40% of the corpus
+
+
+def _mix_weight_sql() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {w}" for k, w in _MIX_WEIGHTS.items())
+        + " ELSE 0.0 END"
+    )
+
+
+@query(
+    "p02_corpus_mix",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, count(*) AS n_avail,
+             (SELECT count(*) FROM documents) AS n_total
+      FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n_avail,
+             least(1.0, ({_mix_weight_sql()}) * n_total * {_MIX_BUDGET_FRAC}
+                        / n_avail) AS rate
+      FROM stats
+    ),
+    picked AS (
+      SELECT d.lang, count(*) AS n_selected
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) / 4294967296.0 < r.rate
+      GROUP BY d.lang
+    )
+    SELECT r.lang, CAST(r.n_avail AS BIGINT) AS n_avail,
+           ROUND(r.rate, 4) AS rate,
+           CAST(coalesce(p.n_selected, 0) AS BIGINT) AS n_selected
+    FROM rates r LEFT JOIN picked p ON r.lang = p.lang
+    ORDER BY r.lang
+    """,
+    category="pipeline",
+)
+def p02(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus mixture sampling: hit target language weights
+    (en .45 / fr .20 / de .15 / es .12 / zh .08) for a budget of 40% of
+    the corpus, by per-language acceptance rates over a content-
+    independent doc_id hash. Rate = min(1, weight·budget/available) —
+    under-represented languages saturate at keeping everything, exactly
+    how production data-mixing handles scarce languages.
+
+    Plan: per-language counts (5-row aggregate) broadcast back onto the
+    scan; the accept/reject test is a map-side expression on md5(doc_id)
+    — the corpus is read ONCE, never shuffled (the only shuffle is the
+    5-group summary). Identical selection on any engine, run, or
+    partitioning; at 100 TB changing the mixture is a re-filter, not a
+    re-shuffle.
+    """
+    d = load_table(spark, sf, "documents")
+    weight = None
+    for k, w in _MIX_WEIGHTS.items():
+        weight = (
+            F.when(F.col("lang") == k, w)
+            if weight is None
+            else weight.when(F.col("lang") == k, w)
+        )
+    weight = weight.otherwise(0.0)
+    total = d.agg(F.count("*").alias("n_total"))
+    rates = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_avail"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_avail",
+            F.least(
+                F.lit(1.0),
+                weight * F.col("n_total") * F.lit(_MIX_BUDGET_FRAC) / F.col("n_avail"),
+            ).alias("rate"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    picked = (
+        d.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_selected"))
+    )
+    return (
+        rates.join(picked, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.round("rate", 4).alias("rate"),
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "p03_hash_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   CAST('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) / 4294967296.0 AS u
+            FROM documents)
+    )
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+    FROM assigned GROUP BY split, lang ORDER BY split, lang
+    """,
+    category="pipeline",
+)
+def p03(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-hash train/val/test split (80/10/10): each document's
+    assignment is a pure function of a salted doc_id hash — stable under
+    re-runs, re-partitioning, engine changes, and corpus growth (old docs
+    never migrate between splits when new docs arrive, unlike randomSplit
+    (a04), whose assignment depends on partition layout and seed state).
+    That stability is what keeps a 100 TB eval set uncontaminated across
+    monthly corpus rebuilds. The salt ('split42:') makes this split
+    independent of every other md5(doc_id) decision in the pipeline
+    (p02's mixture, a07's reservoir) — unsalted, the same hash would
+    correlate selections across operators.
+
+    Plan: map-only assignment; the only shuffle is the (split, lang)
+    summary aggregate.
+    """
+    d = load_table(spark, sf, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split42:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "lang")
+    )

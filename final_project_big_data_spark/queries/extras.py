@@ -975,3 +975,76 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q100_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, CAST(users AS BIGINT) AS users FROM (
+      SELECT 1 AS stage, count(*) AS users FROM s1
+      UNION ALL SELECT 2, count(*) FROM s2
+      UNION ALL SELECT 3, count(*) FROM s3
+    ) ORDER BY stage
+    """,
+    category="analytics",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered event funnel (signup → first later click → first later
+    purchase): per-stage user counts with strict temporal sequencing —
+    the event-analytics staple (MATCH_RECOGNIZE-lite) the events table
+    exists for.
+
+    Sequencing by first-qualifying-timestamp chain: each stage is a
+    per-user MIN over events later than the previous stage's timestamp.
+    Every stage shuffles on user_id, so all three aggregates and both
+    joins share one partitioning — Catalyst plans the stage-2/3 joins
+    without re-exchanging the (already user-keyed) stage frames, and the
+    per-stage frames shrink monotonically (funnel property). At 100 TB
+    the event scan is filtered to the three funnel event types before any
+    shuffle.
+    """
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        df.agg(F.count("*").alias("users")).select(
+            F.lit(i).alias("stage"), F.col("users")
+        )
+        for i, df in ((1, s1), (2, s2), (3, s3))
+    ]
+    return counts[0].unionAll(counts[1]).unionAll(counts[2]).orderBy("stage")

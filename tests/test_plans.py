@@ -255,3 +255,29 @@ def test_q22_shape_scalar_broadcast_and_filtered_anti(spark, sf_dir):
     p = plan(spark, "q99_tpch_q22_global_avg_anti", sf_dir)
     assert "LeftAnti" in p, p
     assert "GreaterThan(o_totalprice,450000.0)" in p, p
+
+
+def test_corpus_mix_map_side_accept_reject(spark, sf_dir):
+    """p02: the accept/reject test is a map-side expression — documents is
+    scanned, broadcast-joined to the 5-row rate table, and filtered with
+    no shuffle of the corpus itself (the only exchanges belong to the
+    tiny per-language aggregates)."""
+    p = plan(spark, "p02_corpus_mix", sf_dir)
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2, p
+
+
+def test_hash_split_single_shuffle(spark, sf_dir):
+    """p03: assignment is a pure map expression; exactly one hash exchange
+    (the (split, lang) summary) plus the output sort's range exchange."""
+    p = plan(spark, "p03_hash_split", sf_dir)
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    assert p.count("Arguments: rangepartitioning") == 1, p
+
+
+def test_event_funnel_user_keyed(spark, sf_dir):
+    """q100: every stage aggregates and joins on user_id; the funnel event
+    -type filter reaches the parquet scan; never a cartesian."""
+    p = plan(spark, "q100_event_funnel", sf_dir)
+    assert "CartesianProduct" not in p, p
+    assert "event_type" in p and "PushedFilters" in p, p
