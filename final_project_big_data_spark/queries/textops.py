@@ -10,7 +10,7 @@ scales).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
@@ -519,3 +519,130 @@ def t10(spark: SparkSession, sf: str) -> DataFrame:
 
 
 t10.__doc__ = t10.__doc__.format(n=_CONTAM_N, m=_BENCH_MOD)
+
+
+_PACK_LEN = 256  # tokens per packed training sequence
+
+
+@query(
+    "t11_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS start_off
+      FROM toks
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(start_off, 0) // {_PACK_LEN} AS BIGINT) AS start_seq,
+           CAST((coalesce(start_off, 0) + n_tokens - 1) // {_PACK_LEN}
+                AS BIGINT) AS end_seq
+    FROM offs ORDER BY doc_id
+    """,
+    category="text",
+)
+def t11(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in doc_id order
+    and cut every {L} tokens; each document maps to the [start_seq,
+    end_seq] range of training sequences it lands in (spanning a boundary
+    → it occupies two or more). The op behind "tokens per epoch" and
+    boundary-crossing accounting in every LLM data loader.
+
+    Expressed as a prefix-sum: running token offset via an ORDER BY
+    doc_id window, then integer division by the sequence length — no
+    sequential state, no UDF. The single global-order window is the one
+    scale caveat: at 100 TB, run the same prefix-sum per shard
+    (partitionBy(shard) window after x03's two-pass global index assigns
+    shard-local offsets), which this plan becomes by adding one partition
+    key. Fixture scale pins the exact arithmetic cross-engine.
+    """
+    d = widen(load_table(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    offs = toks.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return offs.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("start_off") / _PACK_LEN).alias("start_seq"),
+        F.floor((F.col("start_off") + F.col("n_tokens") - 1) / _PACK_LEN).alias(
+            "end_seq"
+        ),
+    ).orderBy("doc_id")
+
+
+t11.__doc__ = t11.__doc__.format(L=_PACK_LEN)
+
+
+_CHUNK_LEN = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # overlap = _CHUNK_LEN - _CHUNK_STRIDE
+
+
+@query(
+    "t12_chunk_windows",
+    oracle=f"""
+    WITH wd AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_no,
+           list_aggregate(w[k * {_CHUNK_STRIDE} + 1 :
+                            k * {_CHUNK_STRIDE} + {_CHUNK_LEN}],
+                          'string_agg', ' ') AS chunk_text,
+           CAST(least(len(w) - k * {_CHUNK_STRIDE}, {_CHUNK_LEN}) AS INT)
+             AS chunk_tokens
+    FROM wd, UNNEST(range(0, CAST(ceil(greatest(len(w) - {_CHUNK_LEN}, 0)
+                          / {_CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS t(k)
+    ORDER BY doc_id, chunk_no
+    """,
+    category="text",
+)
+def t12(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping chunk windows ({L}-token windows, stride {S}): the
+    retrieval/embedding-pipeline chunker (context-window packing with
+    overlap so no span is split across chunk boundaries unseen). Row-local
+    explode — chunk count per doc is ⌈(n−L)/S⌉+1, output is bounded by
+    (n/S)× input tokens, and nothing shuffles until the presentation sort.
+    d09 dedups these chunks; this entry pins the chunking itself.
+    """
+    d = widen(load_table(spark, sf, "documents")).filter(F.col("doc_id") < 60)
+    wd = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size("w") - _CHUNK_LEN, F.lit(0)) / float(_CHUNK_STRIDE)
+        )
+        + 1
+    ).cast("long")
+    return (
+        wd.select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("int").alias("chunk_no"),
+            F.array_join(
+                F.slice(F.col("w"), F.col("k") * _CHUNK_STRIDE + 1, _CHUNK_LEN),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.size("w") - F.col("k") * _CHUNK_STRIDE, F.lit(_CHUNK_LEN)
+            )
+            .cast("int")
+            .alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+t12.__doc__ = t12.__doc__.format(L=_CHUNK_LEN, S=_CHUNK_STRIDE)
