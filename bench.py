@@ -40,6 +40,7 @@ HEADLINE = [
 EXTRAS = [
     "t05_tfidf",
     "t06_bigram_logprob",
+    "t11_sequence_packing",
     "x01_asof_join",
     "x02_interval_join",
     "x03_global_index",
@@ -47,7 +48,11 @@ EXTRAS = [
     "d07_dup_clusters",
     "s03_ivf_ann_topk",
     "p01_corpus_curation",
+    "p02_corpus_mix",
+    "p03_hash_split",
     "q70_sessionization",
+    "q96_tpch_q2_min_cost",
+    "q100_event_funnel",
 ]
 
 

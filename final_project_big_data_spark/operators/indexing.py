@@ -84,6 +84,63 @@ def with_global_index(
     )
 
 
+def with_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    sum_col: str = "prefix_sum",
+) -> DataFrame:
+    """Append the EXCLUSIVE prefix sum of integer ``value_col`` over a
+    global ordering — ``sum(value) over (order by ... rows unbounded
+    preceding to 1 preceding)`` semantics WITHOUT the unpartitioned window
+    (which collapses the table into one WindowExec task).
+
+    Same two-pass shape as :func:`with_global_index`, summing values
+    instead of counting rows: range-exchange on the order key, a
+    #partitions-row side aggregate folded into per-partition exclusive
+    offsets, broadcast back, plus a partition-local running sum. Drives
+    t11's sequence packing (token offsets over a corpus); any
+    "cut a concatenated stream every L units" operator reduces to this.
+
+    ``order_cols`` must be a total order (unique tiebreak) for
+    determinism; ``value_col`` must be integral (offsets are exact longs).
+    """
+    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+
+    counts = tagged.groupBy(_PID).agg(
+        F.sum(F.col(value_col).cast("long")).alias("_n")
+    )
+    packed = counts.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(_PID).alias("pid"), F.col("_n").alias("n")))
+        ).alias("cs")
+    )
+    prefix = F.expr(
+        "aggregate(cs,"
+        " struct(cast(0 as bigint) as acc,"
+        "        cast(array() as array<struct<pid:int, off:bigint>>) as out),"
+        " (st, x) -> struct(st.acc + x.n as acc,"
+        "                   concat(st.out, array(struct(x.pid as pid,"
+        "                                               st.acc as off))) as out),"
+        " st -> st.out)"
+    )
+    offsets = packed.select(F.explode(prefix).alias("po")).select(
+        F.col("po.pid").alias(_PID), F.col("po.off").alias(_OFFSET)
+    )
+    w_local = (
+        W.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(F.col(value_col).cast("long")).over(w_local), F.lit(0))
+    return (
+        tagged.join(F.broadcast(offsets), _PID)
+        .withColumn(sum_col, (F.col(_OFFSET) + local).cast("long"))
+        .drop(_PID, _OFFSET)
+    )
+
+
 def with_ntile(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -553,23 +553,22 @@ def t11(spark: SparkSession, sf: str) -> DataFrame:
     → it occupies two or more). The op behind "tokens per epoch" and
     boundary-crossing accounting in every LLM data loader.
 
-    Expressed as a prefix-sum: running token offset via an ORDER BY
-    doc_id window, then integer division by the sequence length — no
-    sequential state, no UDF. The single global-order window is the one
-    scale caveat: at 100 TB, run the same prefix-sum per shard
-    (partitionBy(shard) window after x03's two-pass global index assigns
-    shard-local offsets), which this plan becomes by adding one partition
-    key. Fixture scale pins the exact arithmetic cross-engine.
+    Expressed as a distributed prefix-sum (``operators.indexing.
+    with_prefix_sum``): range-exchange on doc_id, a #partitions-row side
+    aggregate folded into per-partition exclusive offsets, broadcast
+    back, plus a partition-local running sum — never the unpartitioned
+    ``ORDER BY`` window that would collapse a 100 TB corpus into one
+    WindowExec task. Fixture scale pins the exact arithmetic
+    cross-engine.
     """
+    from final_project_big_data_spark.operators.indexing import with_prefix_sum
+
     d = widen(load_table(spark, sf, "documents"))
     toks = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    offs = toks.withColumn(
-        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    )
+    offs = with_prefix_sum(toks, ["doc_id"], "n_tokens", sum_col="start_off")
     return offs.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),

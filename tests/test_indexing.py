@@ -105,3 +105,48 @@ def test_with_ntile_matches_closed_form(spark, n_rows, n_tiles):
     rem = n_rows % n_tiles
     for tile, size in sizes.items():
         assert size == (big if tile <= rem else small), (tile, size)
+
+
+def test_prefix_sum_matches_single_window(spark):
+    """with_prefix_sum == the unpartitioned-window spelling it replaces,
+    across multiple physical partitions and duplicate-free ordering."""
+    from pyspark.sql import Window as W, functions as F
+
+    from final_project_big_data_spark.operators.indexing import with_prefix_sum
+
+    df = (
+        spark.range(0, 500, 1, 8)
+        .select(
+            F.col("id").alias("k"),
+            (F.pmod(F.col("id") * 37, F.lit(11)) + 1).alias("v"),
+        )
+    )
+    got = {
+        r.k: r.ps
+        for r in with_prefix_sum(df, ["k"], "v", sum_col="ps").collect()
+    }
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        r.k: r.ps
+        for r in df.withColumn(
+            "ps", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_no_single_partition_full_data_window(spark, sf_dir):
+    """The t11 plan must carry NO unpartitioned window over the data:
+    every windowspecdefinition in the physical plan is partitioned (the
+    single-reducer cliff this operator exists to avoid)."""
+    from final_project_big_data_spark.queries import all_specs
+
+    df = all_specs()["t11_sequence_packing"].builder(spark, sf_dir)
+    p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            # partitioned windows list partition cols before the ORDER BY
+            # spec; an unpartitioned one starts the spec with the sort col
+            assert "_gidx_pid" in line, line

@@ -74,3 +74,61 @@ def test_salted_join_matches_plain_join(spark, rows, n_salts):
         .collect()
     )
     assert salted == plain
+
+
+def test_hash_split_stable_under_corpus_growth(spark, sf_dir):
+    """p03's defining property: a document's train/val/test assignment is
+    a pure function of its id — computing the split on any SUBSET of the
+    corpus assigns every surviving document identically. (randomSplit
+    fails this: its assignment shifts with partition layout.)"""
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.queries.curation import p03  # noqa: F401
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split42:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") / F.lit(4294967296.0)
+    )
+    split = F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    full = {r.doc_id: r.s for r in d.select("doc_id", split.alias("s")).collect()}
+    subset = {
+        r.doc_id: r.s
+        for r in d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert subset == {k: v for k, v in full.items() if k % 3 == 0}
+    # all three splits are populated and roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(full.values())
+    n = sum(c.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / n - 0.8) < 0.1
+
+
+def test_sequence_packing_conservation(spark, sf_dir):
+    """t11 invariants: offsets tile the concatenated corpus exactly —
+    each doc's span starts where the previous ended, the final sequence
+    index equals floor((total_tokens-1)/L), and every span is
+    non-degenerate (end_seq >= start_seq)."""
+    from final_project_big_data_spark.queries import all_specs
+    from final_project_big_data_spark.queries.textops import _PACK_LEN
+
+    rows = (
+        all_specs()["t11_sequence_packing"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    total = 0
+    for r in rows:  # rows arrive ordered by doc_id
+        assert r.start_seq == total // _PACK_LEN
+        assert r.end_seq == (total + r.n_tokens - 1) // _PACK_LEN
+        assert r.end_seq >= r.start_seq
+        total += r.n_tokens
+    assert rows[-1].end_seq == (total - 1) // _PACK_LEN
