@@ -1048,3 +1048,60 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         for i, df in ((1, s1), (2, s2), (3, s3))
     ]
     return counts[0].unionAll(counts[1]).unionAll(counts[2]).orderBy("stage")
+
+
+@query(
+    "q101_purchase_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    islands AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+             - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS streak_len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+    category="analytics",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE calendar days with a
+    purchase, per user — the row_number-difference idiom (day_ordinal −
+    rank is constant exactly within a consecutive run), the other classic
+    sequence shape next to q70's time-gap sessionization.
+
+    Three aggregates, all keyed on user_id (one partitioning reused
+    across the window and both groupBys — no re-exchange): distinct
+    (user, day) dedup, island sizing, per-user max. Nothing is ordered
+    globally and no self-join materializes day pairs, so the plan is
+    shuffle-bounded by distinct active days, not events.
+    """
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) - rn,
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.sum("streak_len").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
