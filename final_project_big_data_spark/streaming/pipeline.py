@@ -447,3 +447,20 @@ def curate_docs(df: DataFrame) -> DataFrame:
         .dropDuplicates(["fp_norm"])
         .select("doc_id", "pred_lang", "quality", "n_tokens")
     )
+
+
+def with_stream_metrics(df: DataFrame, name: str = "stream_metrics") -> DataFrame:
+    """Attach per-micro-batch counters to a streaming frame
+    (``plans.metrics`` streaming hook): rows and score extrema ride each
+    batch's execution and surface on
+    ``StreamingQueryProgress.observedMetrics[name]`` — monitoring with no
+    second pass over the stream and no foreachBatch side-car. The scale
+    rationale matches the batch case: at production rates a count-based
+    monitor would double the stream's compute.
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("batch_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -41,3 +41,28 @@ def test_observed_metrics_cost_no_extra_job(spark, sf_dir):
     jobs = sc.statusTracker().getJobIdsForGroup("observe-cost")
     assert len(jobs) == 1, jobs
     assert obs.get["n"] > 0 and obs.get["mx"] > 0
+
+
+def test_stream_metrics_surface_on_progress(spark, sf_dir, tmp_path):
+    """Streaming twin: observed metrics appear on the query's progress
+    events with values matching the replayed batch."""
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.streaming import pipeline as P
+
+    events = load_table(spark, sf_dir, "events")
+    replay = P.replay_dir(spark, sf_dir, str(tmp_path / "replay"), n_batches=4)
+    stream = P.with_stream_metrics(
+        P.score_events(P.file_stream(spark, replay))
+    )
+    q = P.run_to_memory(stream, "metrics_out")
+    got = [
+        p.observedMetrics["stream_metrics"]
+        for p in (q.recentProgress or [])
+        if p.observedMetrics and "stream_metrics" in p.observedMetrics
+    ]
+    assert got, "no observedMetrics on any progress event"
+    assert sum(m.batch_rows for m in got) == events.count()
+    lo = min(m.min_value for m in got if m.min_value is not None)
+    hi = max(m.max_value for m in got if m.max_value is not None)
+    want = events.agg(F.min("value"), F.max("value")).collect()[0]
+    assert (lo, hi) == tuple(want)
