@@ -206,3 +206,43 @@ def test_json_quarantine_splits_bad_records(spark, sf_dir, tmp_path):
     assert good.schema == eio.load_table(spark, sf_dir, "nation").schema
     captured = sorted(r._corrupt_record for r in bad.collect())
     assert captured == sorted(bad_lines)
+
+
+def test_table_cache_survives_session_restart(sf_dir):
+    """The per-(app, dir, table) DataFrame cache must never hand a frame
+    from a STOPPED SparkContext to a new session — restarted sessions get
+    fresh applicationIds, so the key cannot collide. Pinned because the
+    verification driver owns its own session lifecycle. Runs in a
+    subprocess: the scenario must create and STOP real sessions, which
+    would tear down the suite's shared session fixture if run in-process
+    (getOrCreate returns the active session)."""
+    import os
+    import subprocess
+    import sys
+
+    script = f"""
+import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from pyspark.sql import SparkSession
+from final_project_big_data_spark.io import _TABLE_CACHE, load_table
+SF = {sf_dir!r}
+s1 = SparkSession.builder.master("local[2]").appName("cache-r1").getOrCreate()
+s1.sparkContext.setLogLevel("ERROR")
+app1 = s1.sparkContext.applicationId
+df1 = load_table(s1, SF, "region")
+assert df1.count() > 0
+s1.stop()
+s2 = SparkSession.builder.master("local[2]").appName("cache-r2").getOrCreate()
+s2.sparkContext.setLogLevel("ERROR")
+app2 = s2.sparkContext.applicationId
+assert app1 != app2, (app1, app2)
+df2 = load_table(s2, SF, "region")
+assert df2 is not df1
+assert df2.count() > 0
+assert any(k[0] == app2 for k in _TABLE_CACHE)
+s2.stop()
+print("RESTART_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "RESTART_OK" in out.stdout, out.stderr[-2000:]
