@@ -29,6 +29,11 @@ def _driver_status(specs=None) -> dict[str, str]:
     Names absent from every round's file were never reached by the
     verification driver (it checks a capped subset per round).
 
+    Chronological LAST result wins (rounds sort lexically): a later green
+    clears an old failure, and a later failure re-queues an entry that was
+    once green — any-green-ever-wins would park a regression at the back
+    of the capped rotation forever.
+
     A ``no_oracle`` rows-only pass only counts as green while the spec
     still has no oracle: entries that have since GAINED an oracle (e.g.
     mm02/mm03 in round 2) are treated as never-verified so the rotation
@@ -53,10 +58,7 @@ def _driver_status(specs=None) -> dict[str, str]:
                     row.get(k) is True
                     for k in ("rows_match", "schema_match", "hash_match")
                 )
-            if ok:
-                status[name] = "green"
-            elif status.get(name) != "green":
-                status[name] = "failed"
+            status[name] = "green" if ok else "failed"
     return status
 
 

@@ -119,7 +119,9 @@ def main() -> None:
         # per-query split (min-of-2, like the Spark side) so a single >2×
         # outlier is visible instead of hiding inside the aggregate ratio
         for name in HEADLINE:
-            if not specs[name].oracle:
+            # skip queries whose Spark side errored: both totals must sum
+            # over the SAME query set or the headline ratio is meaningless
+            if not specs[name].oracle or name not in timings:
                 continue
             try:
                 best = float("inf")
@@ -145,6 +147,11 @@ def main() -> None:
     if duck_total is not None:
         out["duckdb_total_sec"] = duck_total
         out["duckdb_queries"] = duck_queries
+        # true only when both engines timed the identical headline set —
+        # the spark-vs-duckdb ratio is meaningless otherwise
+        out["totals_comparable"] = set(duck_queries) == {
+            n for n in timings if specs[n].oracle
+        }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

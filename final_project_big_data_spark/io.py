@@ -59,10 +59,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (154× per registry sweep). DataFrames are immutable — handing every
     # caller the same logical scan node is safe, and lets Catalyst see
     # identical subplans for reuse. Bounded: |tables| × |sf dirs| × |apps|.
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # single-generation cache: entries keyed to OTHER applicationIds belong
+    # to stopped sessions (a restarted session gets a fresh appId) — evict
+    # them so a driver that restarts its session per round can't pin dead
+    # py4j/JVM objects for the process lifetime
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[k]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -98,15 +105,18 @@ def _check_fixture_schema(name: str, df: DataFrame) -> None:
     if key in _SCHEMA_OK:
         return
     missing = [c for c in expected if c not in actual]
+    extra = [c for c in actual if c not in expected]
     drifted = {
         c: (expected[c], actual[c])
         for c in expected
         if c in actual and actual[c] != expected[c]
     }
-    if missing or drifted:
+    if missing or extra or drifted:
         parts = []
         if missing:
             parts.append(f"missing columns {missing}")
+        if extra:
+            parts.append(f"unexpected columns {extra}")
         for c, (want, got) in drifted.items():
             parts.append(f"column {c!r} drifted: expected {want}, scanned {got}")
         raise RuntimeError(

@@ -108,8 +108,11 @@ def with_prefix_sum(
     ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     tagged = ranged.withColumn(_PID, F.spark_partition_id())
 
+    # coalesce the per-partition sum: SUM over an all-NULL partition is
+    # NULL, and the fold's `st.acc + x.n` would poison every later
+    # partition's offset — the window spelling this replaces skips NULLs
     counts = tagged.groupBy(_PID).agg(
-        F.sum(F.col(value_col).cast("long")).alias("_n")
+        F.coalesce(F.sum(F.col(value_col).cast("long")), F.lit(0)).alias("_n")
     )
     packed = counts.groupBy().agg(
         F.sort_array(

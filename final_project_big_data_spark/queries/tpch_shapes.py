@@ -1,4 +1,5 @@
-"""TPC-H classic query shapes q86–q95 (Q7/Q8/Q9/Q10/Q11/Q14/Q15/Q17/Q19/Q21).
+"""TPC-H classic query shapes q86–q98 (Q7/Q8/Q9/Q10/Q11/Q14/Q15/Q17/Q19/Q21
+plus the Q2/Q16/Q20 closers; Q22 lives in subqueries.q85).
 
 The reference computes none of these — its SQL surface is scan+cast
 (``tasks/scripts/prepare_data.py:19-31``) — but the generalized contract
@@ -560,13 +561,14 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# ----------------------------------------------------------- Q2/Q16/Q20/Q22
-# The four classics q86–q95 left out, closing the TPC-H shape catalogue
-# (Q1/Q3/Q4/Q6/Q12/Q13/Q18 shapes are already carried by Tier-A entries:
-# q15, q26/q14, q79, q02, q47, q82, q81). The fixture has no partsupp
-# table; the (l_partkey, l_suppkey) pairs of lineitem act as the
-# part–supplier bridge, with MIN(l_extendedprice / l_quantity) as the
-# order-independent (hence bit-reproducible cross-engine) unit-cost proxy.
+# --------------------------------------------------------------- Q2/Q16/Q20
+# The remaining classics, closing the TPC-H shape catalogue
+# (Q1/Q3/Q4/Q6/Q12/Q13/Q18/Q22 shapes are already carried by Tier-A
+# entries: q15, q26/q14, q79, q02, q47, q82, q81, q85). The fixture has
+# no partsupp table; the (l_partkey, l_suppkey) pairs of lineitem act as
+# the part–supplier bridge, with MIN(l_extendedprice / l_quantity) as the
+# order-independent (hence bit-reproducible cross-engine) unit-cost
+# proxy.
 
 
 @query(
@@ -756,54 +758,4 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
         .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
         .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
         .orderBy("s_name")
-    )
-
-
-@query(
-    "q99_tpch_q22_global_avg_anti",
-    oracle="""
-    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
-           ROUND(sum(c.c_acctbal), 4) AS totacctbal
-    FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                         WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 450000.0)
-    GROUP BY c.c_mktsegment
-    ORDER BY c.c_mktsegment
-    """,
-    category="tpch",
-)
-def q99(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q22 shape (global sales opportunity): well-funded customers
-    with no large orders, rolled up by segment — a scalar-average
-    subquery plus NOT EXISTS, the canonical anti-join + global-scalar
-    combination (phone-prefix grouping becomes c_mktsegment; the
-    "never ordered" arm becomes "never ordered big", which is non-empty
-    at every fixture sf).
-
-    The scalar average is a 1-row aggregate broadcast-cross-joined (no
-    driver action, no recompute per row); NOT EXISTS is a left_anti
-    against orders pre-filtered to >450k (the filter makes the anti
-    build side small enough to broadcast at any scale — at 100 TB the
-    anti join is on the FILTERED stream, never all of orders).
-    """
-    c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders").filter(
-        F.col("o_totalprice") > 450000.0
-    ).select("o_custkey")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
-    )
-    return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
-        )
-        .orderBy("c_mktsegment")
     )

@@ -56,6 +56,16 @@ def test_later_green_overrides_earlier_failure(fake_rounds):
     assert list(E.queries())[-1] == "q01_scan_project"
 
 
+def test_later_failure_overrides_earlier_green(fake_rounds):
+    """Chronological last-result-wins: a regression recorded AFTER a green
+    must re-queue the entry at the front — any-green-ever-wins would park
+    it behind the capped rotation forever."""
+    fake_rounds(1, {"q01_scan_project": _GREEN})
+    fake_rounds(2, {"q01_scan_project": _FAILED})
+    assert E._driver_status()["q01_scan_project"] == "failed"
+    assert list(E.queries())[0] == "q01_scan_project"
+
+
 def test_no_oracle_green_reclassified_when_spec_gains_oracle(fake_rounds):
     """A historical rows-only pass must stop counting as green once the
     spec has a real oracle (mm02/mm03's round-2 situation): the entry

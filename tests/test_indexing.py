@@ -150,3 +150,27 @@ def test_prefix_sum_no_single_partition_full_data_window(spark, sf_dir):
             # partitioned windows list partition cols before the ORDER BY
             # spec; an unpartitioned one starts the spec with the sort col
             assert "_gidx_pid" in line, line
+
+
+def test_prefix_sum_all_null_partition_does_not_poison(spark):
+    """Regression: a range partition whose value column is entirely NULL
+    must contribute 0 to downstream offsets, matching the NULL-skipping
+    window spelling — not propagate NULL through the offset fold."""
+    from pyspark.sql import Window as W, functions as F
+
+    from final_project_big_data_spark.operators.indexing import with_prefix_sum
+
+    df = spark.range(0, 4000, 1, 8).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") >= 1500, F.lit(2)).alias("v"),  # ids <1500 NULL
+    )
+    got = {r.k: r.ps for r in with_prefix_sum(df, ["k"], "v", sum_col="ps").collect()}
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        r.k: r.ps
+        for r in df.withColumn(
+            "ps", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    assert got == want
+    assert got[3999] == 2 * (3999 - 1500)  # later partitions saw real sums

@@ -119,13 +119,19 @@ def test_mm_oracle_all_sfs(spark, name, sf):
     builders take sf_dir — this pins that the oracle holds under each.
     """
     from final_project_big_data_spark.queries import all_specs
+    from tests.conftest import SF_DIR
     from tests.oracle import compare, duckdb_connect
 
+    # same fixture ROOT as the suite's sf_dir (honors the env override);
+    # only the scale-factor suffix is parametrized here
+    root = os.path.dirname(SF_DIR.rstrip("/"))
+    sf_path = os.path.join(root, f"sf{sf}")
+    if not os.path.isdir(sf_path):
+        pytest.skip(f"fixture dir {sf_path} not present")
     spec = all_specs()[name]
-    con = duckdb_connect(f"/root/testdata/sf{sf}")
+    con = duckdb_connect(sf_path)
     try:
-        report = compare(spec.builder(spark, f"/root/testdata/sf{sf}"), con,
-                         spec.oracle)
+        report = compare(spec.builder(spark, sf_path), con, spec.oracle)
         assert report["ok"], f"{name}@sf{sf}: {report}"
     finally:
         con.close()

@@ -246,17 +246,6 @@ def test_q20_shape_one_fact_aggregate(spark, sf_dir):
     assert p.count("Scan parquet") <= 8, p  # li+part+supp+nation, ×2 print
     assert "LeftSemi" in p, p
     assert "CartesianProduct" not in p, p
-
-
-def test_q22_shape_scalar_broadcast_and_filtered_anti(spark, sf_dir):
-    """q99 (Q22 shape): the global average arrives as a broadcast 1-row
-    cross join (no driver action, no per-row recompute) and the NOT
-    EXISTS is an anti join against orders already filtered to >450k."""
-    p = plan(spark, "q99_tpch_q22_global_avg_anti", sf_dir)
-    assert "LeftAnti" in p, p
-    assert "GreaterThan(o_totalprice,450000.0)" in p, p
-
-
 def test_corpus_mix_map_side_accept_reject(spark, sf_dir):
     """p02: the accept/reject test is a map-side expression — documents is
     scanned, broadcast-joined to the 5-row rate table, and filtered with

@@ -82,7 +82,7 @@ def test_hash_split_stable_under_corpus_growth(spark, sf_dir):
     corpus assigns every surviving document identically. (randomSplit
     fails this: its assignment shifts with partition layout.)"""
     from final_project_big_data_spark.io import load_table
-    from final_project_big_data_spark.queries.curation import p03  # noqa: F401
+    from final_project_big_data_spark.queries import all_specs
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
@@ -103,9 +103,19 @@ def test_hash_split_stable_under_corpus_growth(spark, sf_dir):
         .collect()
     }
     assert subset == {k: v for k, v in full.items() if k % 3 == 0}
-    # all three splits are populated and roughly 80/10/10
+    # the inline expression above IS the shipped assignment: its per-doc
+    # decisions, rolled up by (split, lang), must equal the registered p03
+    # builder's output exactly (a changed salt or threshold breaks this)
     from collections import Counter
 
+    lang = {r.doc_id: r.lang for r in d.select("doc_id", "lang").collect()}
+    mine = Counter((full[k], lang[k]) for k in full)
+    builder = {
+        (r.split, r.lang): r.n
+        for r in all_specs()["p03_hash_split"].builder(spark, sf_dir).collect()
+    }
+    assert dict(mine) == builder
+    # all three splits are populated and roughly 80/10/10
     c = Counter(full.values())
     n = sum(c.values())
     assert set(c) == {"train", "val", "test"}

@@ -45,3 +45,13 @@ def _check_fixture_schema_fresh(name, df):
 
     io._SCHEMA_OK.clear()
     io._check_fixture_schema(name, df)
+
+
+def test_fixture_drift_tripwire_names_extra_column(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    drifted = load_table(spark, sf_dir, "events").withColumn(
+        "surprise", F.lit(1)
+    )
+    with pytest.raises(RuntimeError, match=r"fixture drift.*unexpected.*surprise"):
+        _check_fixture_schema_fresh("events", drifted)
