@@ -112,7 +112,20 @@ def build_pipeline(
 
 
 def train(train_df: DataFrame, **kwargs) -> PipelineModel:
-    return build_pipeline(**kwargs).fit(train_df)
+    """Fit and return the pipeline model WITHOUT its training summary.
+
+    ``copy()`` drops the classifier's ``trainingSummary`` (exactly like a
+    save/load round trip does — production parity). The summary must not
+    ride along: it pins the SparkSession in a non-transient field
+    (``BinaryClassificationSummary.sparkSession``), and Spark 4's classic
+    session holds a non-serializable ``ObservationManager`` in a lazy val
+    — once ANY ``Observation`` has been used on the session (e.g.
+    ``plans.metrics``), serializing a summary-carrying model into a
+    scoring closure throws ``NotSerializableException``. Nothing in the
+    engine reads the summary; per-query metrics come from the scored
+    frame itself.
+    """
+    return build_pipeline(**kwargs).fit(train_df).copy()
 
 
 def save_model(model: PipelineModel, path: str) -> None:

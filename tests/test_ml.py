@@ -179,3 +179,25 @@ def test_count_vectorizer_vocab_matches_corpus_frequencies(spark, sf_dir):
     assert all(doc_freq.get(w, 0) >= 2 for w in vocab)
     top_word = max(doc_freq.items(), key=lambda kv: kv[1])[0]
     assert top_word in vocab
+
+
+def test_scoring_survives_observation_poisoned_session(spark):
+    """Regression (order-dependent in the suite): once any Observation has
+    been used on a session, Spark 4's classic SparkSession holds a
+    materialized non-serializable ObservationManager, and a model whose
+    trainingSummary pins the session fails closure serialization at
+    scoring time. M.train strips the summary (copy()), so scoring must
+    work on a deliberately poisoned session."""
+    from pyspark.sql import Observation
+
+    obs = Observation("poison_probe")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    assert obs.get["n"] == 10  # manager lazy val is now materialized
+
+    cc = M.synth_creditcard(spark, n_rows=400, seed=7)
+    tr, te = M.stratified_split(M.stratified_sample(cc, 300, seed=7), seed=7)
+    model = M.train(tr, num_trees=4, max_depth=3, seed=7)
+    assert not model.stages[-1].hasSummary
+    assert M.score(model, te).count() > 0
