@@ -20,7 +20,7 @@ synthetic data; at scale the same plans hold with more bands/buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
@@ -653,4 +653,120 @@ def x07(spark: SparkSession, sf: str) -> DataFrame:
     cc = connected_components_star(nodes, pairs, id_col="doc_id")
     return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy(
         "doc_id"
+    )
+
+
+_PPJ_T = 0.9  # Jaccard threshold for the prefix-filtered similarity join
+
+
+@query(
+    "d11_prefix_filter_jaccard",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT t.doc_id, t.tok,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.cnt, t.tok) AS rn,
+             count(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM toks t JOIN freq f ON t.tok = f.tok
+    ),
+    prefix AS (SELECT * FROM ranked WHERE rn <= n - ceil({_PPJ_T} * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE b.n >= {_PPJ_T} * a.n AND b.n <= a.n / {_PPJ_T}
+    ),
+    shared AS (
+      SELECT c.da, c.db, c.na, c.nb, count(*) AS s
+      FROM cand c
+      JOIN toks x ON x.doc_id = c.da
+      JOIN toks y ON y.doc_id = c.db AND y.tok = x.tok
+      GROUP BY c.da, c.db, c.na, c.nb
+    )
+    SELECT da AS doc_id, CAST(count(*) AS BIGINT) AS n_similar_later,
+           round(max(s * 1.0 / (na + nb - s)), 4) AS max_jaccard
+    FROM shared WHERE s * 1.0 / (na + nb - s) >= {_PPJ_T}
+    GROUP BY da ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d11(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (PPJoin-style): exact
+    word-set Jaccard ≥ t without comparing all pairs. Two filters from the
+    similarity-join literature do the pruning BEFORE any pair
+    materializes: (1) prefix filter — order each doc's tokens by
+    ascending global frequency; two sets can reach Jaccard t only if
+    their first ``n − ⌈t·n⌉ + 1`` rarest tokens intersect, so candidates
+    come from an equi-join on PREFIX tokens only (rare tokens → tiny
+    postings); (2) size filter — |smaller| ≥ t·|larger|. Survivors get
+    exact verification via shared-token counts.
+
+    This is the scale path d05's static (lang, size-bucket) blocking
+    can't reach: blocking quality there depends on metadata, while the
+    prefix bound is adaptive to the data's own frequency skew — the
+    candidate set shrinks as the vocabulary grows (rarer prefixes),
+    exactly the behavior wanted at 100 TB. Every stage is a keyed
+    shuffle: token frequency (token), per-doc rank (doc), candidate
+    generation (prefix token), verification (pair). Output is the
+    per-doc summary (later-neighbor count + max Jaccard) so the result
+    stays bounded by |docs| while the join itself is the full exact
+    similarity join.
+    """
+    d = widen(load_table(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "tok"
+        ),
+    ).distinct()
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w_rank = W.partitionBy("doc_id").orderBy("cnt", "tok")
+    w_n = W.partitionBy("doc_id")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_n))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(_PPJ_T * F.col("n")) + 1
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("da"), "tok", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("db"), "tok", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("da") < F.col("db"))
+            & (F.col("nb") >= _PPJ_T * F.col("na"))
+            & (F.col("nb") <= F.col("na") / _PPJ_T)
+        )
+        .select("da", "db", "na", "nb")
+        .distinct()
+    )
+    x = toks.select(F.col("doc_id").alias("da"), "tok")
+    y = toks.select(F.col("doc_id").alias("db"), "tok")
+    shared = (
+        cand.join(x, "da")
+        .join(y, ["db", "tok"])
+        .groupBy("da", "db", "na", "nb")
+        .agg(F.count("*").alias("s"))
+    )
+    jac = F.col("s") * 1.0 / (F.col("na") + F.col("nb") - F.col("s"))
+    return (
+        shared.filter(jac >= _PPJ_T)
+        .groupBy(F.col("da").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_similar_later"),
+            F.round(F.max(jac), 4).alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
     )
