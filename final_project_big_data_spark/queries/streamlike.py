@@ -10,7 +10,7 @@ arithmetic stands in for Spark's ``window()``; lag/cumsum sessionization for
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
@@ -139,4 +139,51 @@ def w04(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .orderBy("event_type", F.asc_nulls_first("day"), F.asc_nulls_first("hr"))
+    )
+
+
+@query(
+    "w05_windowed_topk",
+    oracle=f"""
+    WITH wc AS (
+      SELECT make_timestamp(((floor(epoch(ts) / {_6H}) * {_6H})
+                             * 1000000)::BIGINT) AS win_start,
+             event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+                 ORDER BY cnt DESC, event_type) AS rnk FROM wc)
+    WHERE rnk <= 3 ORDER BY win_start, rnk
+    """,
+    category="window-stream",
+)
+def w05(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-window top-k ("trending event types per 6 h bucket"): tumbling
+    event-time window aggregate composed with a rank-within-window — the
+    dashboard staple the w-family lacked (w01 aggregates, q22 ranks; this
+    is the composition). Deterministic tiebreak on event_type.
+
+    Plan: the window aggregate shuffles once on (bucket, type) with
+    map-side partials; the rank re-shuffles only the aggregated rows
+    (|buckets| × |types|, tiny at any corpus scale) and
+    WindowGroupLimit keeps per-bucket state at k rows. In Structured
+    Streaming the same shape runs as tumbling_counts →
+    foreachBatch(rank) — ranking needs the closed window, so it rides
+    the batch sink boundary (streaming/pipeline.py).
+    """
+    e = load_table(spark, sf, "events")
+    wc = (
+        e.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "cnt"
+        )
+    )
+    w = W.partitionBy("win_start").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        wc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("win_start", "rnk")
     )
