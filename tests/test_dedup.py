@@ -137,3 +137,40 @@ def test_star_cc_matches_label_propagation_on_deep_chain(spark):
     }
     assert lp == ss
     assert ss[79] == 40 and ss[14] == 5 and ss[99] == 99
+
+
+def test_prefix_filter_jaccard_no_false_negatives(spark, sf_dir):
+    """d11's DuckDB oracle runs the SAME prefix-filter algorithm, so a
+    shared pruning bug (a pair wrongly filtered before verification)
+    would pass the oracle check on both engines. This cross-checks the
+    full pipeline against brute-force all-pairs Jaccard computed in
+    Python on the fixture corpus — pinning the prefix and size filters
+    as lossless for the threshold."""
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.queries import all_specs
+    from final_project_big_data_spark.queries.dedup import _PPJ_T
+
+    docs = {
+        r.doc_id: frozenset(r.text.strip().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    ids = sorted(docs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(docs[a] & docs[b])
+            if inter == 0:
+                continue
+            j = inter / (len(docs[a]) + len(docs[b]) - inter)
+            if j >= _PPJ_T:
+                brute.setdefault(a, []).append(j)
+    want = {
+        a: (len(js), round(max(js), 4)) for a, js in brute.items()
+    }
+    got = {
+        r.doc_id: (r.n_similar_later, r.max_jaccard)
+        for r in all_specs()["d11_prefix_filter_jaccard"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
