@@ -717,6 +717,17 @@ def d11(spark: SparkSession, sf: str) -> DataFrame:
     per-doc summary (later-neighbor count + max Jaccard) so the result
     stays bounded by |docs| while the join itself is the full exact
     similarity join.
+
+    Degenerate-vocabulary caveat: the win assumes a Zipfian vocabulary
+    (real corpora), where prefix tokens are genuinely rare. On a
+    template-generated corpus whose whole vocabulary is shared (this
+    fixture), even the rarest token has long postings and candidate
+    generation degrades toward blocked all-pairs — measured ~36 s at
+    sf0.1 vs ~5 s at sf0.01. The production escape hatch for a hot
+    prefix token is the d03 idiom: cap or sub-block postings above a
+    bound (lossy) or fall back to minhash-LSH (d03) for the offending
+    stratum; lossless exactness is kept here because the fixture sweep
+    is the correctness gate.
     """
     d = widen(load_table(spark, sf, "documents"))
     toks = d.select(
