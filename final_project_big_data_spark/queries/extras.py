@@ -1105,3 +1105,64 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q102_scd2_history",
+    oracle="""
+    WITH upd AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'purchase'
+    ),
+    chg AS (
+      SELECT user_id, ts, event_id, value FROM upd
+      WHERE prev IS NULL OR value <> prev
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS INT) AS version,
+           ROUND(value, 4) AS value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+    category="warehouse",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 history build: an attribute-update stream becomes
+    versioned dimension rows with [valid_from, valid_to) intervals and an
+    is_current flag — the warehouse-standard temporal-dimension shape
+    next to q73's MERGE. Consecutive duplicate values collapse (only
+    real changes open a new version); the open interval (valid_to NULL)
+    marks the current row.
+
+    One shuffle on the dimension key serves all three windows (change
+    detection, versioning, interval close); nothing orders globally but
+    the presentation sort. At 100 TB the update stream is incremental:
+    the same plan applied to (current open rows UNION new updates)
+    closes old intervals and opens new ones batch by batch.
+    """
+    upd = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = upd.withColumn("prev", F.lag("value").over(w)).filter(
+        F.col("prev").isNull() | (F.col("value") != F.col("prev"))
+    )
+    return (
+        chg.select(
+            "user_id",
+            F.row_number().over(w).cast("int").alias("version"),
+            F.round("value", 4).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
