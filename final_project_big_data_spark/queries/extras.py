@@ -1166,3 +1166,76 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "q103_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS INT) AS week_no
+      FROM events e JOIN firstw f ON e.user_id = f.user_id
+    ),
+    cohort_size AS (
+      SELECT cohort_week, count(*) AS n_users FROM firstw GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_no,
+           CAST(count(*) AS BIGINT) AS active_users,
+           ROUND(count(*) * 1.0 / s.n_users, 4) AS retention
+    FROM activity a JOIN cohort_size s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_no, s.n_users
+    ORDER BY a.cohort_week, week_no
+    """,
+    category="analytics",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    fraction still active N weeks later — the product-analytics staple
+    (triangle chart) closing the funnel/streak/sessionization family.
+
+    Three aggregates keyed on user_id / cohort_week: first-week per user
+    (one shuffle on user), a distinct (user, week_no) activity dedup
+    riding the same user partitioning via the cohort join, and the final
+    per-(cohort, week) rollup over already-small rows; cohort sizes
+    broadcast. Nothing scans events twice at the executor level beyond
+    the two aggregates Catalyst can't merge (first-week vs activity),
+    and no window needs global order.
+    """
+    e = load_table(spark, sf, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firstw, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    sizes = firstw.groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    return (
+        activity.groupBy("cohort_week", "week_no")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_no",
+            "active_users",
+            F.round(F.col("active_users") * 1.0 / F.col("n_users"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_no")
+    )
