@@ -49,10 +49,15 @@ def _driver_status(specs=None) -> dict[str, str]:
             continue
         for name, row in rows.items():
             if row.get("err") == "no_oracle":
-                spec = (specs or {}).get(name)
-                if spec is not None and spec.oracle is not None:
-                    continue  # weak row, spec now oracle-able → unverified
                 ok = row.get("spark_rows") is not None
+                spec = (specs or {}).get(name)
+                if ok and spec is not None and spec.oracle is not None:
+                    # weak PASS, spec now oracle-able → treat as unverified
+                    # so the rotation re-surfaces it for a hash-checked row.
+                    # A crashed rows-only row (spark_rows None) stays
+                    # 'failed' — a recorded failure must keep front-of-queue
+                    # rank, not demote to the never-verified class.
+                    continue
             else:
                 ok = all(
                     row.get(k) is True

@@ -26,13 +26,50 @@ def _pin_session_confs(spark: SparkSession) -> None:
     even when the engine runs under a session it did not build (e.g. the
     verification driver's): UTC rendering, and nanos-as-long so Spark 4 can
     scan the ns-precision ``events.ts`` parquet column at all.
+
+    Once per session: each ``conf.set`` is a py4j round trip, and
+    ``load_table`` sits on every builder's path (hundreds of calls per
+    registry sweep) — re-pinning already-pinned confs is pure overhead.
     """
+    if _session_alive(spark) and id(spark) in _CONFS_PINNED:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # ship the engine package to Python workers (foreign-session safe)
     from final_project_big_data_spark.session import ship_package
 
     ship_package(spark)
+    _CONFS_PINNED.add(id(spark))
+
+
+_CONFS_PINNED: set[int] = set()
+
+
+def _session_alive(spark: SparkSession) -> bool:
+    """True iff per-session cached state for ``id(spark)`` belongs to THIS
+    object. CPython reuses ids after GC, and sibling sessions share an
+    applicationId, so (appId, id) alone could hand session B state pinned
+    by a dead session A. A weakref to the registrant makes the check
+    airtight: id reuse requires the old object to be dead, and then the
+    weakref no longer resolves to ``spark``. On mismatch, all state keyed
+    to the stale id is purged and the new session registered.
+    """
+    import weakref
+
+    ref = _SESSION_REFS.get(id(spark))
+    if ref is not None and ref() is spark:
+        return True
+    _CONFS_PINNED.discard(id(spark))
+    for k in [k for k in _TABLE_CACHE if k[1] == id(spark)]:
+        del _TABLE_CACHE[k]
+    try:
+        _SESSION_REFS[id(spark)] = weakref.ref(spark)
+    except TypeError:  # non-weakref-able session stand-in (mocks)
+        _SESSION_REFS.pop(id(spark), None)
+    return False
+
+
+_SESSION_REFS: dict[int, "object"] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,8 +96,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (154× per registry sweep). DataFrames are immutable — handing every
     # caller the same logical scan node is safe, and lets Catalyst see
     # identical subplans for reuse. Bounded: |tables| × |sf dirs| × |apps|.
+    # keyed on session *object* identity as well as applicationId: sibling
+    # sessions from spark.newSession() share one appId, but a DataFrame is
+    # bound to the session that created it (temp views, conf lookups), so
+    # handing session A's cached scan to sibling B would silently target A
     app_id = spark.sparkContext.applicationId
-    key = (app_id, os.path.abspath(sf_dir), name)
+    key = (app_id, id(spark), os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

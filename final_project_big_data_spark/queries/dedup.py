@@ -551,7 +551,10 @@ _CHUNK_WORDS = 8  # non-overlapping passage width, in words
     )
     SELECT doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           -- CAST: DuckDB SUM(int) is HUGEINT, which pandas renders as
+           -- float64 — hash-drift vs Spark's bigint (driver-mimic finding)
+           CAST(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
            ROUND(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
     FROM cnt GROUP BY doc_id ORDER BY doc_id

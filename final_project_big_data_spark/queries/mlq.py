@@ -12,6 +12,10 @@ baseline-beating accuracy, streaming-score parity) plus the raw
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,8 +62,14 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         (F.count("*") > 0).alias("scored_nonempty"),
         F.lit(n_train + n_test == n_sampled).alias("split_complete"),
         F.lit(n_overlap == 0).alias("split_disjoint"),
-        F.every(F.col("predicted_label").isin(0.0, 1.0)).alias("pred_domain_ok"),
-        F.every(F.col("actual_label").isin(0, 1)).alias("label_domain_ok"),
+        # coalesce(..., False): isin(NULL) yields NULL and F.every skips
+        # NULLs, so a NULL prediction/label must explicitly FAIL the facet
+        F.every(
+            F.coalesce(F.col("predicted_label").isin(0.0, 1.0), F.lit(False))
+        ).alias("pred_domain_ok"),
+        F.every(
+            F.coalesce(F.col("actual_label").isin(0, 1), F.lit(False))
+        ).alias("label_domain_ok"),
         (
             F.avg(
                 (F.col("predicted_label") == F.col("actual_label")).cast("double")
@@ -68,3 +78,95 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("beats_chance"),
     )
     return facets
+
+
+@query(
+    "m02_streaming_score_parity",
+    oracle="""
+    SELECT TRUE AS envelope_cols_ok, TRUE AS stream_nonempty,
+           TRUE AS stream_equals_batch, TRUE AS multi_batch_replay
+    """,
+    category="ml",
+)
+def m02(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming half of the reference flow as a driver-checkable row
+    (VERDICT r3 ask #5): score a throttled file-stream replay with a
+    SAVED+RELOADED PipelineModel and assert the reference's exact output
+    envelope ``{Time, Amount, actual_label, predicted_label}``
+    (``predict.py:18,30-44``: load → from_json parse → transform →
+    envelope projection), replacing Kafka with the file source (no broker
+    in this sandbox; ``streaming/kafka.py`` carries the Kafka wiring).
+
+    Facets: envelope_cols_ok (exact column set, reference byte-parity
+    order), stream_nonempty, stream_equals_batch (the micro-batched
+    scored rows are SET-IDENTICAL to batch-scoring the same frame —
+    model.transform is stateless, so chunking must not change results),
+    multi_batch_replay (the throttle really split the replay into >1
+    micro-batch — availableNow + maxFilesPerTrigger=1).
+
+    Scale: the stream side is map-only (parse + transform, no state, no
+    shuffle); parity checks are two exceptAll anti-joins on the scored
+    envelope — one shuffle each at driver-check scale only.
+    """
+    cc = M.synth_creditcard(spark, n_rows=1200, seed=42)
+    train_df, test_df = M.stratified_split(cc, (0.7, 0.3), seed=42)
+    model = M.train(train_df, num_trees=10, max_depth=5, seed=42)
+
+    work = tempfile.mkdtemp(prefix="m02_")
+    try:
+        model_path = os.path.join(work, "model")
+        M.save_model(model, model_path)
+        loaded = M.load_model(model_path)
+
+        # JSON replay files: one file per micro-batch (reference topic
+        # payload shape, producer.py:23-24), throttled 1 file/trigger.
+        replay = os.path.join(work, "replay")
+        n_files = 3
+        (
+            test_df.select(F.to_json(F.struct(*test_df.columns)).alias("value"))
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .text(replay)
+        )
+
+        cc_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in cc.schema.fields)
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(replay)
+            .select(F.from_json(F.col("value"), cc_ddl).alias("r"))
+            .select("r.*")
+        )
+        scored_stream = M.prediction_envelope(M.score(loaded, stream))
+
+        sink = f"m02_sink_{abs(hash(work)) % 10_000_000}"
+        q = (
+            scored_stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", os.path.join(work, "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        n_batches = len(q.recentProgress)
+
+        streamed = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    batch = M.prediction_envelope(M.score(loaded, test_df))
+    want_cols = ["Time", "Amount", "actual_label", "predicted_label"]
+    only_stream = streamed.exceptAll(batch).count()
+    only_batch = batch.exceptAll(streamed).count()
+    return spark.range(1).select(
+        F.lit(streamed.columns == want_cols).alias("envelope_cols_ok"),
+        F.lit(streamed.count() > 0).alias("stream_nonempty"),
+        F.lit(only_stream == 0 and only_batch == 0).alias(
+            "stream_equals_batch"
+        ),
+        F.lit(n_batches > 1).alias("multi_batch_replay"),
+    )

@@ -83,7 +83,8 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q43_collect_list",
     oracle="""
-    SELECT r_name, list_sort(list(n_name)) AS nations
+    SELECT r_name,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
     FROM region JOIN nation ON n_regionkey = r_regionkey
     GROUP BY r_name ORDER BY r_name
     """,
@@ -91,7 +92,12 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     """List aggregation: ``sort_array(collect_list())`` == DuckDB
-    ``list_sort(list())`` (sorted for partition-order independence)."""
+    ``list_sort(list())`` (sorted for partition-order independence).
+
+    The list is emitted joined to a CSV string: raw ``array<string>``
+    output columns are unhashable in pandas-based result canonicalizers
+    (driver round-3 finding), so scalarize at the output boundary.
+    """
     nation = load_table(spark, sf, "nation")
     region = load_table(spark, sf, "region")
     return (
@@ -100,7 +106,11 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
             nation.n_regionkey == region.r_regionkey,
         )
         .groupBy("r_name")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
         .orderBy("r_name")
     )
 

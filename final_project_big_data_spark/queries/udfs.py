@@ -325,8 +325,9 @@ def u07(spark: SparkSession, sf: str) -> DataFrame:
     -- engine-dependent at .XXXX5 boundaries (Spark rounds the shortest
     -- repr half-up, DuckDB rounds the binary value)
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(18,6)), 4) AS DECIMAL(18,4)) AS charge
+           CAST(CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6)), 4) AS DECIMAL(18,4))
+                AS DOUBLE) AS charge
     FROM lineitem WHERE l_orderkey < 500
     ORDER BY l_orderkey, l_linenumber
     """,
@@ -375,10 +376,14 @@ def u08(spark: SparkSession, sf: str) -> DataFrame:
             schema="l_orderkey bigint, l_linenumber int, charge double",
         )
         .withColumn(
+            # rounding happens in exact DECIMAL (engine-independent), but
+            # the EMITTED column is double: Decimal objects survive
+            # toPandas and hash-drift against DuckDB's float64 rendering
+            # in the driver's canonicalizer (driver-mimic finding)
             "charge",
-            F.round(F.col("charge").cast("decimal(18,6)"), 4).cast(
-                "decimal(18,4)"
-            ),
+            F.round(F.col("charge").cast("decimal(18,6)"), 4)
+            .cast("decimal(18,4)")
+            .cast("double"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

@@ -1,0 +1,101 @@
+"""Full-registry self-verification sweep (run before every driver round).
+
+Runs EVERY registered QuerySpec through both local harnesses at a given
+scale factor:
+
+- ``tests/oracle.py`` — the repo's stringify-and-sort differential check;
+- ``tests/driver_mimic.py`` — the verification driver's pandas
+  canonicalization, including its known failure modes (unhashable array
+  cells, Decimal-vs-float64 drift, schema hazards).
+
+Oracle-less specs are built and hazard-checked only (the driver records
+a rows-only row for those). Exit code 1 if anything fails.
+
+Usage::
+
+    python -m tests.sweep_registry [sf_dir] [name_prefix ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+
+    from final_project_big_data_spark.queries import all_specs
+    from final_project_big_data_spark.session import get_spark
+    from tests.driver_mimic import compare_driver_style, hazards
+    from tests.oracle import compare, duckdb_connect
+
+    spark = get_spark(
+        app_name="sweep", master="local[8]", shuffle_partitions=8
+    )
+    con = duckdb_connect(sf)
+    specs = all_specs()
+    failures: dict[str, str] = {}
+    n_run = 0
+    t0 = time.time()
+    for name, spec in specs.items():
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        n_run += 1
+        t1 = time.time()
+        try:
+            df = spec.builder(spark, sf)
+        except Exception as exc:
+            failures[name] = f"build crash: {type(exc).__name__}: {exc}"
+            print(f"FAIL {name}: {failures[name]}", flush=True)
+            continue
+        if spec.oracle is None:
+            try:
+                haz = hazards(df)
+                n = df.count()
+            except Exception as exc:
+                failures[name] = f"exec crash: {type(exc).__name__}: {exc}"
+                print(f"FAIL {name}: {failures[name]}", flush=True)
+                continue
+            if haz:
+                failures[name] = f"rows-only schema hazards: {haz}"
+                print(f"FAIL {name}: {failures[name]}", flush=True)
+            else:
+                print(
+                    f"ok   {name} (rows-only, {n} rows, "
+                    f"{time.time()-t1:.1f}s)",
+                    flush=True,
+                )
+            continue
+        rep1 = compare(df, con, spec.oracle)
+        rep2 = compare_driver_style(
+            spec.builder(spark, sf), con, spec.oracle
+        )
+        if rep1["ok"] and rep2["ok"]:
+            print(f"ok   {name} ({time.time()-t1:.1f}s)", flush=True)
+        else:
+            msg = []
+            if not rep1["ok"]:
+                msg.append(f"harness: {rep1.get('error')}")
+            if not rep2["ok"]:
+                msg.append(
+                    f"driver-mimic: {rep2.get('error')} "
+                    f"{rep2.get('first_diffs', '')}"
+                )
+            failures[name] = "; ".join(msg)
+            print(f"FAIL {name}: {failures[name]}", flush=True)
+
+    print(
+        f"\nswept {n_run} specs in {time.time()-t0:.0f}s, "
+        f"{len(failures)} failures"
+    )
+    if failures:
+        print(json.dumps(failures, indent=1))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

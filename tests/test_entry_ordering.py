@@ -80,6 +80,20 @@ def test_no_oracle_green_reclassified_when_spec_gains_oracle(fake_rounds):
     assert E._driver_status()[name] == "green"
 
 
+def test_no_oracle_crash_stays_failed_when_spec_gains_oracle(fake_rounds):
+    """A rows-only row whose builder CRASHED (spark_rows None) must keep
+    front-of-queue 'failed' rank even after the spec gains an oracle —
+    only weak PASSES get demoted to the never-verified class (ADVICE r3:
+    a recorded failure must never rank behind never-checked entries)."""
+    from final_project_big_data_spark.queries import all_specs
+
+    specs = all_specs()
+    name = next(n for n, s in specs.items() if s.oracle is not None)
+    crashed = dict(_ROWS_ONLY, spark_rows=None)
+    fake_rounds(1, {name: crashed})
+    assert E._driver_status(specs)[name] == "failed"
+
+
 def test_no_round_files_sorts_by_contract_rank_then_registration(fake_rounds):
     from final_project_big_data_spark.queries import all_specs
 

@@ -35,6 +35,7 @@ EAGER_BY_CONTRACT = {
     "a07_reservoir_sample",
     "a08_weighted_sample",
     "m01_rf_prepare_train_score",
+    "m02_streaming_score_parity",  # trains + runs an availableNow stream
     "d07_dup_clusters",
     "x07_components_star",
 }

@@ -246,6 +246,8 @@ def test_q20_shape_one_fact_aggregate(spark, sf_dir):
     assert p.count("Scan parquet") <= 8, p  # li+part+supp+nation, ×2 print
     assert "LeftSemi" in p, p
     assert "CartesianProduct" not in p, p
+
+
 def test_corpus_mix_map_side_accept_reject(spark, sf_dir):
     """p02: the accept/reject test is a map-side expression — documents is
     scanned, broadcast-joined to the 5-row rate table, and filtered with
