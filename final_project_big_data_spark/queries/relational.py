@@ -131,10 +131,27 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     category="join",
 )
 def q06(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    o = load_table(spark, sf, "orders")
+    """Fact⋈dim equi join with the output order pushed below the join:
+    the narrow fact projection is range-partitioned + locally sorted on
+    the output keys BEFORE the broadcast probe (``range_presorted``), so
+    the final ``orderBy`` is already satisfied — without this, the range
+    exchange's sampling pass re-executes the entire join (measured 1.21 s
+    → 0.71 s at sf0.1; the saving grows with the join's cost at scale).
+
+    No broadcast hint: this is the GENERIC equi-join surface (Q07 is the
+    hinted one), and at a scale where orders stops auto-broadcasting the
+    planner correctly falls back to a key shuffle — the final ``orderBy``
+    then re-sorts, trading the presort away for correctness.
+    """
+    from final_project_big_data_spark.plans.ordering import range_presorted
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        range_presorted(li, "l_orderkey", "l_linenumber")
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "inner")
         .select("l_orderkey", "l_linenumber", "o_totalprice")
         .orderBy("l_orderkey", "l_linenumber")
     )

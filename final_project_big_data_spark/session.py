@@ -45,6 +45,48 @@ def ship_package(spark: SparkSession) -> None:
     sc._fpbd_pkg_shipped = True
 
 
+def sized_shuffle_partitions(
+    sf_dir: str,
+    advisory_bytes: int | None = None,
+    floor: int = 8,
+    ceiling: int = 4096,
+) -> int:
+    """Initial shuffle-partition count sized to the DOMINANT INPUT, not to
+    core count.
+
+    AQE can only merge partitions, never split beyond the initial number —
+    and even merged-away tasks were still planned. At small data volumes a
+    cores-sized count (32 here) schedules dozens of near-empty sort/agg
+    tasks per exchange and pays a wide range-exchange sampling fan-in;
+    measured at sf0.1 that's ~30% of the whole headline bench. The rule a
+    cluster job would apply is the same one used here: partitions ≈
+    largest-table bytes / advisory partition size, floored so every
+    exchange still exercises multi-partition paths and capped at 4096
+    (AQE merges from there on a real cluster).
+    """
+    if advisory_bytes is None:
+        advisory_bytes = int(
+            os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", str(1024 * 1024))
+        )
+    biggest = 0
+    try:
+        for name in os.listdir(sf_dir):
+            if name.endswith(".parquet"):
+                p = os.path.join(sf_dir, name)
+                size = (
+                    sum(
+                        os.path.getsize(os.path.join(p, f))
+                        for f in os.listdir(p)
+                    )
+                    if os.path.isdir(p)
+                    else os.path.getsize(p)
+                )
+                biggest = max(biggest, size)
+    except OSError:
+        return 32
+    return max(floor, min(ceiling, biggest // advisory_bytes))
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,

@@ -40,6 +40,18 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in p, p
 
 
+def test_q06_order_pushed_below_join(spark, sf_dir):
+    """q06: the output order is produced BELOW the join (range_presorted
+    narrow fact projection), so the plan carries exactly ONE range
+    exchange — the final orderBy is satisfied by the join's preserved
+    streamed-side partitioning and compiles to nothing. Without the
+    push-down the range exchange sits ABOVE the join and its sampling
+    pass re-executes the whole join."""
+    p = plan(spark, "q06_join_inner", sf_dir)
+    assert p.count("rangepartitioning") == 1, p
+    assert "BroadcastHashJoin" in p, p  # orders auto-broadcasts at test sf
+
+
 def test_hash_aggregate_has_partial_stage(spark, sf_dir):
     # map-side combine: partial HashAggregate before the shuffle, final after
     p = plan(spark, "q15_hash_aggregate", sf_dir)
