@@ -112,7 +112,7 @@ def main() -> None:
 
     extras: dict[str, float] = {}
     for name in EXTRAS:
-        t = _time_query(name, 2)
+        t = _time_query(name, 3)
         if t is not None:
             extras[name] = t
 
