@@ -52,6 +52,33 @@ def test_q06_order_pushed_below_join(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p  # orders auto-broadcasts at test sf
 
 
+def test_range_presorted_equals_plain_orderby(spark, sf_dir):
+    """range_presorted + join + orderBy returns EXACTLY the rows, in
+    EXACTLY the order, of the naive join-then-orderBy formulation — the
+    push-down is a physical rewrite, never a semantic one."""
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.plans.ordering import range_presorted
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    naive = (
+        li.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select("l_orderkey", "l_linenumber", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+    pushed = (
+        range_presorted(li, "l_orderkey", "l_linenumber")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select("l_orderkey", "l_linenumber", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+    assert pushed.collect() == naive.collect()
+
+
 def test_hash_aggregate_has_partial_stage(spark, sf_dir):
     # map-side combine: partial HashAggregate before the shuffle, final after
     p = plan(spark, "q15_hash_aggregate", sf_dir)
