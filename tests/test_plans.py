@@ -311,3 +311,50 @@ def test_event_funnel_user_keyed(spark, sf_dir):
     p = plan(spark, "q100_event_funnel", sf_dir)
     assert "CartesianProduct" not in p, p
     assert "event_type" in p and "PushedFilters" in p, p
+
+
+def test_purchase_streaks_single_user_partitioning(spark, sf_dir):
+    """q101: the purchase filter reaches the scan; window + both groupBys
+    all key on user_id; no global (unpartitioned) window, no cartesian,
+    no self-join materializing day pairs (exactly one scan)."""
+    p = plan(spark, "q101_purchase_streaks", sf_dir)
+    assert "CartesianProduct" not in p, p
+    assert p.count("Scan parquet") <= 2, p  # one events scan (×2 print)
+    assert "user_id" in p and "PushedFilters" in p, p
+
+
+def test_scd2_one_dimension_key_shuffle(spark, sf_dir):
+    """q102: one hash exchange on the business key serves all three
+    windows (change-detect lag, version row_number, interval-close lead)
+    — plus only the presentation sort's range exchange."""
+    p = plan(spark, "q102_scd2_history", sf_dir)
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    assert p.count("Arguments: rangepartitioning") == 1, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_cohort_retention_broadcast_sizes(spark, sf_dir):
+    """q103: cohort sizes join the per-(cohort, week) rollup via
+    broadcast — the fact-side activity frame never re-shuffles for the
+    tiny dimension; no cartesian anywhere."""
+    p = plan(spark, "q103_cohort_retention", sf_dir)
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_windowed_topk_group_limit(spark, sf_dir):
+    """w05: the rank-within-bucket prunes to k rows per window BEFORE the
+    final shuffle (WindowGroupLimit), and the window aggregate has a
+    map-side partial stage."""
+    p = plan(spark, "w05_windowed_topk", sf_dir)
+    assert "WindowGroupLimit" in p, p
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_prefix_filter_join_is_equi(spark, sf_dir):
+    """d11: candidate generation is an equi-join on the prefix token —
+    never a nested-loop/cartesian pair enumeration."""
+    p = plan(spark, "d11_prefix_filter_jaccard", sf_dir)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
