@@ -358,3 +358,15 @@ def test_prefix_filter_join_is_equi(spark, sf_dir):
     p = plan(spark, "d11_prefix_filter_jaccard", sf_dir)
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_cogroup_filter_mirrored_to_both_scans(spark, sf_dir):
+    """u07: Catalyst cannot push a predicate through a Python cogroup
+    (FlatMapCoGroupsInPandas is opaque), so the key-range filter is
+    mirrored by hand onto BOTH inputs — each parquet scan must carry the
+    `< 200` pushed filter, or the unmatched side shuffles its whole table
+    into Python just to be discarded."""
+    p = plan(spark, "u07_cogrouped_pandas", sf_dir)
+    assert "LessThan(c_custkey,200)" in p, p
+    assert "LessThan(o_custkey,200)" in p, p
+    assert "FlatMapCoGroupsInPandas" in p, p
