@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.operators.vector import dot_fold
 from final_project_big_data_spark.plans.parallelism import widen
 from final_project_big_data_spark.queries import query
 
@@ -352,12 +353,7 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
     Dot products run element-sequential in both engines (identical fp
     order), so results hash-match exactly after round(·, 4).
     """
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
+    dot = dot_fold  # shared sequential fold (see operators/vector.py)
 
     # norms once per row, not per pair (HOFs are interpreted — 3× cheaper)
     e = widen(load_table(spark, sf, "embeddings")).select(

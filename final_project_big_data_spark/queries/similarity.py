@@ -19,17 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.operators.vector import dot_fold as _dot
 from final_project_big_data_spark.plans.parallelism import widen
 from final_project_big_data_spark.queries import query
 
 _TOP_K = 5
 _N_QUERIES = 10  # probe set: vec_id < 10
-
-
-def _dot(x, y):
-    return F.aggregate(
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-    )
 
 
 @query(
@@ -61,7 +56,9 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
     is a single dot product. Higher-order array functions are interpreted
     per element, so evaluating 3 of them per pair (dot + both norms) costs
     3× this plan; same floats, same order, so the oracle still hash-matches
-    (``sqrt(dot(x,x))`` per row == per pair).
+    (``sqrt(dot(x,x))`` per row == per pair). The fold itself is the
+    measured-fastest formulation — see operators/vector.py for the
+    benchmarked-and-rejected alternatives.
     """
     e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
@@ -116,7 +113,8 @@ def _s02_sql() -> str:
     """Full DuckDB mirror of the LSH plan — the hyperplanes are seeded
     constants, so signature, multiprobe and re-rank are all replayable:
     sign tests and dot products are bit-exact across engines (s01 proved
-    ``list_dot_product`` == the sequential zip_with fold)."""
+    ``list_dot_product`` == the sequential zip_with fold, see
+    operators/vector.py)."""
     planes = _hyperplanes(64, _N_PLANES, _LSH_SEED)
     sig_terms = "\n         + ".join(
         f"CASE WHEN list_dot_product([{', '.join(repr(x) for x in row)}], v)"

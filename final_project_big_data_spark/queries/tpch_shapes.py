@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.rounding import round_half_up
 from final_project_big_data_spark.queries import query
 
 
@@ -579,8 +580,9 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
              MIN(l_extendedprice / l_quantity) AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
-    SELECT ROUND(s.s_acctbal, 4) AS s_acctbal, s.s_name, n.n_name,
-           p.p_partkey, p.p_name, ROUND(b.unit_cost, 4) AS unit_cost
+    SELECT floor(s.s_acctbal * 10000.0 + 0.5) / 10000.0 AS s_acctbal,
+           s.s_name, n.n_name, p.p_partkey, p.p_name,
+           floor(b.unit_cost * 10000.0 + 0.5) / 10000.0 AS unit_cost
     FROM part p
     JOIN bridge b ON b.l_partkey = p.p_partkey
     JOIN supplier s ON s.s_suppkey = b.l_suppkey
@@ -613,6 +615,11 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     min-equality match is on MIN(price/qty) — order-independent, so
     bit-identical across engines (an AVG-based cost would drift with
     accumulation order).
+
+    Output rounding uses ``round_half_up`` (plans/rounding.py), not
+    ``ROUND``: at sf0.1 two unit costs land exactly on a 4th-decimal
+    half-boundary in their shortest decimal repr, where Spark's
+    BigDecimal HALF_UP and DuckDB's binary round disagree by 1 ulp.
     """
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part").filter(
@@ -637,12 +644,12 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     return (
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .select(
-            F.round("s_acctbal", 4).alias("s_acctbal"),
+            round_half_up("s_acctbal").alias("s_acctbal"),
             "s_name",
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            round_half_up("unit_cost").alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
     )

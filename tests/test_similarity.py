@@ -58,9 +58,13 @@ def test_builders_run_no_eager_jobs(spark, sf_dir):
     Spark jobs than bare source resolution (spark.read.parquet runs one
     footer/schema job per table; that is the floor, not our plan logic).
     The round-1 advisory flagged s03's count() and a06's first() — each
-    added compute jobs on top of the read; this pins their absence."""
-    from final_project_big_data_spark.io import load_table
+    added compute jobs on top of the read; this pins their absence.
+    All tables are pre-warmed so the footer/schema job of a cold source
+    can't masquerade as (or hide) a builder action — the floor is exactly
+    zero, regardless of which tests ran earlier in the session."""
+    from final_project_big_data_spark.io import load_tables
 
+    load_tables(spark, sf_dir)
     tracker = spark.sparkContext.statusTracker()
 
     def jobs(fn):
@@ -68,8 +72,7 @@ def test_builders_run_no_eager_jobs(spark, sf_dir):
         fn()
         return len(tracker.getJobIdsForGroup(None)) - before
 
-    base = jobs(lambda: load_table(spark, sf_dir, "embeddings"))
     for name in ("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_ann_topk",
                  "a06_freq_items"):
         got = jobs(lambda: all_specs()[name].builder(spark, sf_dir))
-        assert got <= base, f"{name} ran {got} jobs at build (floor {base})"
+        assert got == 0, f"{name} ran {got} jobs at build (floor 0)"
