@@ -64,17 +64,25 @@ def main() -> None:
     from final_project_big_data_spark.queries import all_specs
     from final_project_big_data_spark.session import (
         get_spark,
+        sized_max_partition_bytes,
         sized_shuffle_partitions,
     )
 
     specs = all_specs()
-    # shuffle partitions sized to the benchmark's data volume, not to core
-    # count — AQE merges but never splits, and at ~10 MiB/table a
-    # cores-sized initial count schedules mostly-empty tasks (~30% of
-    # headline wall-clock measured at sf0.1; see session.py docstring)
+    # shuffle partitions AND scan splits sized to the benchmark's data
+    # volume, not to core count — AQE merges but never splits, and at
+    # ~10 MiB/table a cores-sized initial count schedules mostly-empty
+    # tasks (~30% of headline wall-clock measured at sf0.1) while the
+    # 128 MiB scan-split default plans ONE task per table scan (see
+    # session.py docstrings for both rules)
     spark = get_spark(
         app_name="bench",
         shuffle_partitions=sized_shuffle_partitions(sf_dir),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(
+                sized_max_partition_bytes(sf_dir)
+            ),
+        },
     )
     # warm up JVM / codegen so per-query numbers measure the plan
     spark.range(1000).selectExpr("sum(id)").collect()

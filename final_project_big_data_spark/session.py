@@ -68,6 +68,14 @@ def sized_shuffle_partitions(
         advisory_bytes = int(
             os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", str(1024 * 1024))
         )
+    biggest = _largest_table_bytes(sf_dir)
+    if biggest == 0:
+        return 32
+    return max(floor, min(ceiling, biggest // advisory_bytes))
+
+
+def _largest_table_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the largest ``*.parquet`` table (file or dir)."""
     biggest = 0
     try:
         for name in os.listdir(sf_dir):
@@ -83,8 +91,38 @@ def sized_shuffle_partitions(
                 )
                 biggest = max(biggest, size)
     except OSError:
-        return 32
-    return max(floor, min(ceiling, biggest // advisory_bytes))
+        return 0
+    return biggest
+
+
+def sized_max_partition_bytes(
+    sf_dir: str,
+    cores: int | None = None,
+    floor: int = 1024 * 1024,
+    ceiling: int = 128 * 1024 * 1024,
+) -> int:
+    """Scan-split size (``spark.sql.files.maxPartitionBytes``) targeting
+    data-per-core, same rule as the shuffle-partition sizing above.
+
+    The 128 MiB default assumes cluster-scale inputs: locally it plans ONE
+    scan task for an 18 MiB sf0.1 table and TWO for a 184 MiB 10x probe
+    file, serializing parquet decode + the fused filter/project/partial-agg
+    stage on a 32-core host (measured: -12%% headline total at 10x volume,
+    s01 -41%%, after sizing splits to data/cores). Parquet is range-
+    splittable, so smaller advisory splits cost only footer re-reads.
+    Floored at 1 MiB (per-task overhead dominates below) and capped at the
+    cluster default, which stays right once per-file bytes >> cores x
+    128 MiB.
+    """
+    if cores is None:
+        try:
+            cores = int(os.environ.get("SPARK_GRAFT_CPUS", "") or 32)
+        except ValueError:
+            cores = 32
+    biggest = _largest_table_bytes(sf_dir)
+    if biggest == 0:
+        return ceiling
+    return max(floor, min(ceiling, biggest // max(cores, 1)))
 
 
 def get_spark(
@@ -132,7 +170,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # autoBroadcastJoinThreshold stays at Spark's 10 MiB default — a
+        # raised threshold is a SCALE HAZARD, not a tuning win: size
+        # estimates for filtered facts are optimistic ratio guesses, and at
+        # 10x bench volume a 64 MiB threshold auto-broadcast a 3.4M-row
+        # filtered lineitem (single-threaded hash-relation build: q14 2.4 s
+        # -> 1.0 s on reverting; tools/scale_probe.py). Known-small dims use
+        # explicit broadcast() hints (threshold-independent) and AQE still
+        # upgrades shuffle joins whose RUNTIME size is small.
         # AQE coalesce target. Default 64 MiB assumes cluster-scale inputs;
         # at local bench scale (sf0.1 ≈ 10 MiB tables) it coalesces every
         # shuffle to 1-5 partitions and idles the other cores. Size it to
