@@ -210,7 +210,9 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
-           round(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS disc_rev,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        FILTER (WHERE l_discount > 0.05) AS DOUBLE), 4)
+             AS disc_rev,
            round(AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS avg_f_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -218,14 +220,21 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q47(spark: SparkSession, sf: str) -> DataFrame:
     """Conditional aggregation (FILTER / CASE inside aggregates) — one pass,
-    map-side combinable; the idiom that replaces N filtered sub-queries."""
+    map-side combinable; the idiom that replaces N filtered sub-queries.
+    The filtered money sum accumulates in DECIMAL(18,4): ~5e10 at 10x
+    volume, where double partials drift across engines (10x sweep, r4)."""
     li = load_table(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
             F.round(
-                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))),
+                F.sum(
+                    F.when(
+                        F.col("l_discount") > 0.05,
+                        F.col("l_extendedprice").cast("decimal(18,4)"),
+                    )
+                ).cast("double"),
                 4,
             ).alias("disc_rev"),
             F.round(

@@ -368,13 +368,15 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 4) AS total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.total_revenue AS DOUBLE), 4) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s.s_suppkey
@@ -388,15 +390,22 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     Decorrelated to aggregate → 1-row max broadcast → equality filter.
     The per-supplier aggregate is computed ONCE and reused for both the
     max and the final selection (same DataFrame object → Spark reuses the
-    exchange); the equality compares each engine's own sums, so argmax
-    selection is internally consistent on both sides.
+    exchange). Revenue accumulates in DECIMAL, not double: the argmax is
+    an EQUALITY on an aggregate, so accumulation-order drift doesn't just
+    move the 4th decimal — it changes WHICH suppliers tie for max (the
+    10x sweep caught a row-count mismatch: ten genuinely tied copies of
+    the top supplier collapsed to different tie-sets per engine). Exact
+    decimal sums make ties exact on both sides.
     """
     li = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
+    rev_dec = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_rev()).alias("total_revenue")
+        F.sum(rev_dec).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
@@ -407,7 +416,9 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_revenue", 4).alias("total_revenue"),
+            F.round(F.col("total_revenue").cast("double"), 4).alias(
+                "total_revenue"
+            ),
         )
         .orderBy("s_suppkey")
     )

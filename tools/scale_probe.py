@@ -20,9 +20,11 @@ the plans stay identical. This probe tests that claim directly:
 Usage:  python tools/scale_probe.py [copies]   (default 10 = ~sf1)
 
 Scaled tables land in /tmp/spark_graft_scale_probe_x{copies}; events and
-documents are not scaled (their TIMESTAMP(NANOS)/text payloads need the
-engine's own loader conventions; the probe's point is made by the TPC-H +
-embeddings queries).
+documents are copied UNSCALED (byte-identical, preserving the original
+writer's TIMESTAMP(NANOS) layout) so the probe dir is also a complete
+fixture set for a 10x-volume correctness sweep:
+
+    python -m tests.sweep_registry /tmp/spark_graft_scale_probe_x10
 """
 
 from __future__ import annotations
@@ -56,6 +58,12 @@ SHIFT = {
     "embeddings": ["vec_id"],
 }
 FIXED = ["region", "nation"]
+# copied unscaled so the FULL registry (tests.sweep_registry) can run
+# against the probe dir as a 10x-volume correctness sweep: their
+# TIMESTAMP(NANOS)/text payloads must keep the original writer's layout
+# (io.load_table branches on the scanned events.ts type), and the probe's
+# crossover point is made by the scaled TPC-H + embeddings tables
+UNSCALED = ["events", "documents"]
 
 
 def materialize(copies: int) -> str:
@@ -91,6 +99,12 @@ def materialize(copies: int) -> str:
                 f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{dst}' "
                 "(FORMAT PARQUET)"
             )
+    import shutil
+
+    for t in UNSCALED:
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(SRC, f"{t}.parquet"), dst)
     return out
 
 
