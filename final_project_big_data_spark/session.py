@@ -204,6 +204,14 @@ def get_spark(
         builder = (
             builder.config("spark.shuffle.compress", "false")
             .config("spark.shuffle.spill.compress", "false")
+            # Prefer shuffled-hash over sort-merge locally: with
+            # data-sized shuffle partitions every build side fits task
+            # memory, and skipping both sorts is a measured win (10x
+            # probe: q14 -13%, q92 -25%; sf0.1 q14 -23%). Left at the
+            # SMJ default off local masters: at cluster scale SMJ's
+            # graceful sort-spill beats an OOM-prone giant hash build,
+            # and AQE's skew-split serves both strategies.
+            .config("spark.sql.join.preferSortMergeJoin", "false")
         )
         if os.path.isdir("/dev/shm"):
             shm = os.path.join("/dev/shm", f"spark-local-{os.getuid()}")
