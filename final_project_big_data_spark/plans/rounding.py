@@ -24,6 +24,14 @@ Use this instead of ``F.round`` whenever the rounded value is an
 arbitrary-precision double (raw measures, divisions, averages); plain
 ``ROUND`` stays fine for values that are decimal-exact by construction
 (prices with 2-digit cents, already-quantized centroids).
+
+Magnitude bound: once ``|x| * 10^scale`` exceeds 2^53, doubles no longer
+resolve unit steps — ``x*p + 0.5`` collapses to ``x*p`` and the "round"
+silently becomes a truncation-of-nothing (still bit-identical across
+engines, so hash parity survives, but it is no longer rounding). At
+scale=4 that's |x| > ~9e11; every current caller rounds per-row measures
+or per-group unit costs far below it. Callers rounding SUMS at cluster
+scale should bound the magnitude first.
 """
 
 from __future__ import annotations

@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
-from final_project_big_data_spark.plans.rounding import round_half_up
+from final_project_big_data_spark.plans.rounding import (
+    round_half_up,
+    round_half_up_sql,
+)
 from final_project_big_data_spark.queries import query
 
 
@@ -585,15 +588,18 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q96_tpch_q2_min_cost",
-    oracle="""
+    # the oracle's output rounding is BUILT from round_half_up_sql (the
+    # declared mirror of the Spark-side round_half_up below) so the two
+    # formulations cannot drift apart silently (ADVICE r4)
+    oracle=f"""
     WITH bridge AS (
       SELECT l_partkey, l_suppkey,
              MIN(l_extendedprice / l_quantity) AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
-    SELECT floor(s.s_acctbal * 10000.0 + 0.5) / 10000.0 AS s_acctbal,
+    SELECT {round_half_up_sql('s.s_acctbal')} AS s_acctbal,
            s.s_name, n.n_name, p.p_partkey, p.p_name,
-           floor(b.unit_cost * 10000.0 + 0.5) / 10000.0 AS unit_cost
+           {round_half_up_sql('b.unit_cost')} AS unit_cost
     FROM part p
     JOIN bridge b ON b.l_partkey = p.p_partkey
     JOIN supplier s ON s.s_suppkey = b.l_suppkey

@@ -107,8 +107,8 @@ def sized_max_partition_bytes(
     The 128 MiB default assumes cluster-scale inputs: locally it plans ONE
     scan task for an 18 MiB sf0.1 table and TWO for a 184 MiB 10x probe
     file, serializing parquet decode + the fused filter/project/partial-agg
-    stage on a 32-core host (measured: -12%% headline total at 10x volume,
-    s01 -41%%, after sizing splits to data/cores). Parquet is range-
+    stage on a 32-core host (measured: -12% headline total at 10x volume,
+    s01 -41%, after sizing splits to data/cores). Parquet is range-
     splittable, so smaller advisory splits cost only footer re-reads.
     Floored at 1 MiB (per-task overhead dominates below) and capped at the
     cluster default, which stays right once per-file bytes >> cores x
@@ -116,9 +116,16 @@ def sized_max_partition_bytes(
     """
     if cores is None:
         try:
-            cores = int(os.environ.get("SPARK_GRAFT_CPUS", "") or 32)
+            cores = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
         except ValueError:
-            cores = 32
+            # unset/garbled env: size to the ACTUAL host, not a literal —
+            # a hardcoded 32 mis-sizes scan splits on any other machine
+            # (ADVICE r4). sched_getaffinity sees cgroup/taskset limits
+            # that cpu_count() ignores.
+            try:
+                cores = len(os.sched_getaffinity(0))
+            except (AttributeError, OSError):
+                cores = os.cpu_count() or 32
     biggest = _largest_table_bytes(sf_dir)
     if biggest == 0:
         return ceiling

@@ -36,7 +36,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/root/testdata/sf0.1"
+# same env knob bench.py honors, so the probe follows the fixture layout
+# of whatever machine it runs on (ADVICE r4)
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OFFSET = 10_000_000
 PROBE = [
     "q01_scan_project",
@@ -67,6 +69,10 @@ UNSCALED = ["events", "documents"]
 
 
 def materialize(copies: int) -> str:
+    # every table is written to a .tmp sibling and os.replace()d into
+    # place: an interrupted COPY can never leave a partial parquet that a
+    # later probe/sweep run would silently reuse (ADVICE r4) — the
+    # exists-check only ever sees complete files
     import duckdb
 
     out = f"/tmp/spark_graft_scale_probe_x{copies}"
@@ -90,21 +96,25 @@ def materialize(copies: int) -> str:
             )
             selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
         con.execute(
-            f"COPY ({' UNION ALL '.join(selects)}) TO '{dst}' (FORMAT PARQUET)"
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{dst}.tmp' "
+            "(FORMAT PARQUET)"
         )
+        os.replace(f"{dst}.tmp", dst)
     for t in FIXED:
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             con.execute(
-                f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{dst}' "
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{dst}.tmp' "
                 "(FORMAT PARQUET)"
             )
+            os.replace(f"{dst}.tmp", dst)
     import shutil
 
     for t in UNSCALED:
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
-            shutil.copyfile(os.path.join(SRC, f"{t}.parquet"), dst)
+            shutil.copyfile(os.path.join(SRC, f"{t}.parquet"), f"{dst}.tmp")
+            os.replace(f"{dst}.tmp", dst)
     return out
 
 
