@@ -23,8 +23,9 @@ sys.path.insert(0, _HERE)
 from final_project_big_data_spark.queries import all_specs  # noqa: E402
 
 
-def _driver_status(specs=None) -> dict[str, str]:
-    """Fold every recorded CORRECTNESS_r*.json into {name: 'green'|'failed'}.
+def _driver_history(specs=None) -> dict[str, tuple[str, int]]:
+    """Fold every recorded CORRECTNESS_r*.json into
+    {name: ('green'|'failed', round_of_last_recorded_row)}.
 
     Names absent from every round's file were never reached by the
     verification driver (it checks a capped subset per round).
@@ -32,7 +33,9 @@ def _driver_status(specs=None) -> dict[str, str]:
     Chronological LAST result wins (rounds sort lexically): a later green
     clears an old failure, and a later failure re-queues an entry that was
     once green — any-green-ever-wins would park a regression at the back
-    of the capped rotation forever.
+    of the capped rotation forever. The round number of that last row is
+    retained so the rotation can re-surface the STALEST greens first
+    (driver-visible evidence ages even when the code still passes).
 
     A ``no_oracle`` rows-only pass only counts as green while the spec
     still has no oracle: entries that have since GAINED an oracle (e.g.
@@ -40,8 +43,10 @@ def _driver_status(specs=None) -> dict[str, str]:
     re-surfaces them for a real hash-checked row instead of letting a weak
     historical pass park them at the back of the queue.
     """
-    status: dict[str, str] = {}
+    hist: dict[str, tuple[str, int]] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -63,8 +68,13 @@ def _driver_status(specs=None) -> dict[str, str]:
                     row.get(k) is True
                     for k in ("rows_match", "schema_match", "hash_match")
                 )
-            status[name] = "green" if ok else "failed"
-    return status
+            hist[name] = ("green" if ok else "failed", rnd)
+    return hist
+
+
+def _driver_status(specs=None) -> dict[str, str]:
+    """{name: 'green'|'failed'} view of :func:`_driver_history`."""
+    return {n: st for n, (st, _) in _driver_history(specs).items()}
 
 
 def _contract_rank(name: str) -> int:
@@ -87,26 +97,30 @@ def _contract_rank(name: str) -> int:
 def _ordered_specs():
     """Registry in driver-priority order: previously-FAILED entries first
     (fixes need fresh rows), then NEVER-driver-checked ones (contract
-    components before extensions, see ``_contract_rank``), then green.
+    components before extensions, see ``_contract_rank``), then green —
+    with greens ordered by LAST-VERIFIED ROUND ascending (stalest first).
 
     The driver verifies a capped prefix of ``queries()`` per round; this
-    ordering self-rotates as each round's CORRECTNESS file lands, so every
-    entry accumulates at least one green driver row across rounds.
-    Stable within each class (registration order).
+    ordering self-rotates as each round's CORRECTNESS file lands. With all
+    entries green, the age ordering means each ~50-cap round re-validates
+    the 50 stalest greens, so no entry's driver-visible evidence is ever
+    more than ~ceil(N/cap) rounds old — a green from three rounds ago
+    proves nothing about code that changed since. Stable within equal age
+    (registration order).
     """
     specs = all_specs()
-    status = _driver_status(specs)
-    rank = {"failed": 0, None: 1, "green": 2}
+    hist = _driver_history(specs)
     reg_index = {n: i for i, n in enumerate(specs)}
-    names = sorted(
-        specs,
-        key=lambda n: (
-            rank[status.get(n)],
-            _contract_rank(n),
-            reg_index[n],
-        ),
-    )
-    return {n: specs[n] for n in names}
+
+    def key(n):
+        st, rnd = hist.get(n, (None, -1))
+        if st == "failed":
+            return (0, 0, 0, reg_index[n])
+        if st is None:
+            return (1, _contract_rank(n), 0, reg_index[n])
+        return (2, 0, rnd, reg_index[n])
+
+    return {n: specs[n] for n in sorted(specs, key=key)}
 
 
 def entry(spark: SparkSession) -> DataFrame:

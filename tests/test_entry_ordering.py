@@ -94,6 +94,31 @@ def test_no_oracle_crash_stays_failed_when_spec_gains_oracle(fake_rounds):
     assert E._driver_status(specs)[name] == "failed"
 
 
+def test_green_class_orders_by_verification_age(fake_rounds):
+    """Greens re-surface STALEST FIRST: an entry last verified in r1 must
+    precede one last verified in r2 regardless of registration order, so
+    the driver's ~50-cap prefix continuously refreshes the oldest
+    driver-visible evidence (VERDICT r4 item 1)."""
+    # q02 registers before q01-alphabetical? use real registry names; make
+    # the LATER-registered entry the STALER one to prove age beats
+    # registration order
+    fake_rounds(1, {"q02_filter_compare": _GREEN})
+    fake_rounds(2, {"q01_scan_project": _GREEN})
+    names = list(E.queries())
+    assert names[-1] == "q01_scan_project"      # freshest green → very back
+    assert names[-2] == "q02_filter_compare"    # stalest green → ahead of it
+
+
+def test_green_refreshed_in_later_round_moves_back(fake_rounds):
+    """A green re-verified in a later round carries the LATER round as its
+    age (last row wins), so it rotates to the back again."""
+    fake_rounds(1, {"q01_scan_project": _GREEN, "q02_filter_compare": _GREEN})
+    fake_rounds(3, {"q01_scan_project": _GREEN})
+    names = list(E.queries())
+    assert names[-1] == "q01_scan_project"
+    assert names[-2] == "q02_filter_compare"
+
+
 def test_no_round_files_sorts_by_contract_rank_then_registration(fake_rounds):
     from final_project_big_data_spark.queries import all_specs
 
