@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.money import money_sum, money_sum_sql
 from final_project_big_data_spark.plans.ordering import sorted_project
 from final_project_big_data_spark.queries import query
 
@@ -365,14 +366,12 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q15_hash_aggregate",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4)                            AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-                      AS DOUBLE), 4)                            AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l_discount AS DECIMAL(18,4)))
-                      AS DOUBLE), 4)                            AS sum_disc_price,
+           round({money_sum_sql('l_extendedprice')}, 4)         AS sum_base_price,
+           round({money_sum_sql('l_extendedprice * (1 - l_discount)')}, 4)
+                                                                AS sum_disc_price,
            round(avg(l_quantity), 4)                            AS avg_qty,
            round(avg(l_extendedprice), 4)                       AS avg_price,
            round(avg(l_discount), 4)                            AS avg_disc,
@@ -388,28 +387,29 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
 def q15(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape — partial (map-side) agg + final agg, one shuffle.
 
-    Money sums accumulate in DECIMAL(18,4) (exact, order-independent):
-    at 10x bench volume the group sums reach ~5e10, where double partial
-    sums drift in the 4th decimal BETWEEN ENGINES (accumulation-order
-    non-associativity — caught by the 10x correctness sweep, round 4).
+    Money sums accumulate as unscaled BIGINT (``plans.money``): exact and
+    order-independent like round 4's DECIMAL(18,4) accumulation (which
+    fixed real 4th-decimal cross-engine drift at 10x volume) but on the
+    primitive-long codegen path instead of Spark's object-based Decimal
+    aggregate buffer — the DECIMAL fix cost q15 +92% on the headline
+    bench (VERDICT r4). Volume bound (2^63) documented in plans/money.py.
     sum_qty stays double: quantities are integer-valued, so their double
     sum is exact below 2^53. avg columns divide the magnitude back down,
     keeping drift far below the rounding boundary."""
     li = load_table(spark, sf, "lineitem")
-    price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
-    disc_price_dec = price_dec * (
-        (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum(price_dec).cast("double"), 4).alias(
+            F.round(money_sum("l_extendedprice"), 4).alias(
                 "sum_base_price"
             ),
-            F.round(F.sum(disc_price_dec).cast("double"), 4).alias(
-                "sum_disc_price"
-            ),
+            F.round(
+                money_sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ),
+                4,
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -513,10 +513,9 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q21_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
-             AS sum_price
+           round({money_sum_sql('o_totalprice')}, 4) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -527,16 +526,17 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
     # SQL-text entry point: spark.sql with a DataFrame argument — no temp
     # view state (safe under any session), and the {orders} reference
     # reuses the cached load_table scan instead of re-inferring the
-    # parquet footer per build. The money sum accumulates in
-    # DECIMAL(18,4) — the () grouping set sums the WHOLE table (~7.5e10
-    # at 10x volume), where double partials drift across engines (10x
-    # sweep, round 4); the aggregate SQL below is dialect-shared.
+    # parquet footer per build. The money sum accumulates as unscaled
+    # BIGINT (plans.money — the () grouping set sums the WHOLE table,
+    # ~7.5e10 at 10x volume, where double partials drift across engines;
+    # round 4's DECIMAL fix was exact but off the primitive codegen
+    # path). The aggregate SQL is BUILT from money_sum_sql on BOTH sides
+    # so the dialect-shared text cannot drift.
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-                          AS DOUBLE), 4) AS sum_price
-        FROM {orders}
+               round({money_sum_sql('o_totalprice')}, 4) AS sum_price
+        FROM {{orders}}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """,

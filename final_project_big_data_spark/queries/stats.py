@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.money import money_sum, money_sum_sql
 from final_project_big_data_spark.queries import query
 
 
@@ -207,11 +208,12 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q47_conditional_agg",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
-           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-                        FILTER (WHERE l_discount > 0.05) AS DOUBLE), 4)
+           round({money_sum_sql(
+               'CASE WHEN l_discount > 0.05 THEN l_extendedprice END'
+           )}, 4)
              AS disc_rev,
            round(AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS avg_f_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -221,20 +223,21 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 def q47(spark: SparkSession, sf: str) -> DataFrame:
     """Conditional aggregation (FILTER / CASE inside aggregates) — one pass,
     map-side combinable; the idiom that replaces N filtered sub-queries.
-    The filtered money sum accumulates in DECIMAL(18,4): ~5e10 at 10x
-    volume, where double partials drift across engines (10x sweep, r4)."""
+    The filtered money sum accumulates as unscaled BIGINT (plans.money):
+    exact and order-independent like round 4's DECIMAL fix for the ~5e10
+    10x-volume drift, but on the primitive codegen path. The oracle
+    mirrors the when() as CASE (NULLs skip the sum on both engines)."""
     li = load_table(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
             F.round(
-                F.sum(
+                money_sum(
                     F.when(
-                        F.col("l_discount") > 0.05,
-                        F.col("l_extendedprice").cast("decimal(18,4)"),
+                        F.col("l_discount") > 0.05, F.col("l_extendedprice")
                     )
-                ).cast("double"),
+                ),
                 4,
             ).alias("disc_rev"),
             F.round(

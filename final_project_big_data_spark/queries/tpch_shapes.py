@@ -371,17 +371,17 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+             sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                      AS BIGINT)) AS rev_units
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           ROUND(CAST(r.total_revenue AS DOUBLE), 4) AS total_revenue
+           ROUND(r.rev_units / CAST(10000 AS DOUBLE), 4) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE r.rev_units = (SELECT max(rev_units) FROM revenue)
     ORDER BY s.s_suppkey
     """,
     category="tpch",
@@ -393,33 +393,37 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     Decorrelated to aggregate → 1-row max broadcast → equality filter.
     The per-supplier aggregate is computed ONCE and reused for both the
     max and the final selection (same DataFrame object → Spark reuses the
-    exchange). Revenue accumulates in DECIMAL, not double: the argmax is
-    an EQUALITY on an aggregate, so accumulation-order drift doesn't just
-    move the 4th decimal — it changes WHICH suppliers tie for max (the
-    10x sweep caught a row-count mismatch: ten genuinely tied copies of
-    the top supplier collapsed to different tie-sets per engine). Exact
-    decimal sums make ties exact on both sides.
+    exchange). Revenue accumulates as unscaled BIGINT units
+    (plans.money): the argmax is an EQUALITY on an aggregate, so
+    accumulation-order drift doesn't just move the 4th decimal — it
+    changes WHICH suppliers tie for max (the 10x sweep caught ten
+    genuinely tied copies of the top supplier collapsing to different
+    tie-sets per engine under double sums). Integer sums make ties exact
+    on both sides — same guarantee as round 4's DECIMAL fix, but on the
+    primitive codegen path; the division to money happens only in the
+    output projection. 2^63 volume bound documented in plans/money.py.
     """
     li = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev_dec = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-    )
+    rev_units = F.round(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        * 10000
+    ).cast("long")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(rev_dec).alias("total_revenue")
+        F.sum(rev_units).alias("rev_units")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    mx = revenue.agg(F.max("rev_units").alias("mx"))
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        .filter(F.col("rev_units") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_revenue").cast("double"), 4).alias(
+            F.round(F.col("rev_units") / F.lit(10000.0), 4).alias(
                 "total_revenue"
             ),
         )
