@@ -7,7 +7,10 @@ Prints ONE JSON line:
 Each query materializes fully via the noop sink (no driver collect, no disk
 write cost) — measuring the distributed plan, not the result transfer.
 DuckDB wall-clock for the same oracle SQL is reported alongside as the
-baseline the repo targets (BASELINE.md: within 2× at equal sf).
+baseline the repo targets (BASELINE.md: within 2× at equal sf), in BOTH
+conventions: fetchall (the r1–r4 series, pays Python result
+materialization Spark's noop never pays) and CTAS compute-only (the
+symmetric measurement — see SCALE.md round 5 for why both are recorded).
 """
 
 from __future__ import annotations
@@ -124,6 +127,19 @@ def main() -> None:
         if t is not None:
             extras[name] = t
 
+    # ANN scale-path comparison (VERDICT r4 item 5): s02's LSH-bucketed
+    # ANN is the designated 100 TB similarity answer but only the exact
+    # brute-force anchor s01 had a bench number. Time s02 against BOTH its
+    # own DuckDB oracle (below, inside the DuckDB block) and s01, so "LSH
+    # beats brute force" is a recorded number, not a claim. s01's rows are
+    # reused from the headline run.
+    ann: dict[str, float] = {}
+    s02_t = _time_query("s02_lsh_ann_topk", 3)
+    if s02_t is not None:
+        ann["s02_spark"] = s02_t
+    if "s01_cosine_topk" in timings:
+        ann["s01_spark"] = timings["s01_cosine_topk"]
+
     duck_total = None
     duck_queries: dict[str, float] = {}
     try:
@@ -137,8 +153,17 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        # per-query split (min-of-2, like the Spark side) so a single >2×
-        # outlier is visible instead of hiding inside the aggregate ratio
+        # per-query split (min-of-3, like the Spark side) so a single >2×
+        # outlier is visible instead of hiding inside the aggregate ratio.
+        # TWO timings per query since round 5:
+        # - fetchall (legacy, `duckdb_queries`): the series BENCH_r1–r4
+        #   recorded; kept so the per-round gate numbers stay comparable.
+        # - CTAS compute-only (`duckdb_compute_queries`): the honest
+        #   analogue of the Spark side's noop sink — fetchall charges
+        #   DuckDB for materializing results as Python objects, a cost
+        #   the Spark side never pays (~1.0 s of the 2.1 s sf0.1 total;
+        #   dominant at larger volumes — see SCALE.md round 5).
+        duck_compute: dict[str, float] = {}
         for name in HEADLINE:
             # skip queries whose Spark side errored: both totals must sum
             # over the SAME query set or the headline ratio is meaningless
@@ -151,9 +176,31 @@ def main() -> None:
                     con.execute(specs[name].oracle).fetchall()
                     best = min(best, time.perf_counter() - t0)
                 duck_queries[name] = round(best, 3)
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(
+                        "CREATE OR REPLACE TEMPORARY TABLE _bench_sink AS "
+                        f"({specs[name].oracle})"
+                    )
+                    best = min(best, time.perf_counter() - t0)
+                con.execute("DROP TABLE IF EXISTS _bench_sink")
+                duck_compute[name] = round(best, 3)
             except Exception as e:  # noqa: BLE001
                 errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
         duck_total = round(sum(duck_queries.values()), 3)
+        if "s01_cosine_topk" in duck_queries:
+            ann["s01_duckdb"] = duck_queries["s01_cosine_topk"]
+        if "s02_spark" in ann:
+            try:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(specs["s02_lsh_ann_topk"].oracle).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                ann["s02_duckdb"] = round(best, 3)
+            except Exception as e:  # noqa: BLE001
+                errors["duckdb:s02_lsh_ann_topk"] = f"{type(e).__name__}: {e}"[:300]
     except Exception:
         pass
 
@@ -165,9 +212,13 @@ def main() -> None:
         "sf": sf,
     }
     out["extra_queries"] = extras
+    if ann:
+        out["ann"] = ann
     if duck_total is not None:
         out["duckdb_total_sec"] = duck_total
         out["duckdb_queries"] = duck_queries
+        out["duckdb_compute_queries"] = duck_compute
+        out["duckdb_compute_total_sec"] = round(sum(duck_compute.values()), 3)
         # true only when both engines timed the identical headline set —
         # the spark-vs-duckdb ratio is meaningless otherwise
         out["totals_comparable"] = set(duck_queries) == {

@@ -140,18 +140,23 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
     → 0.71 s at sf0.1; the saving grows with the join's cost at scale).
 
     No broadcast hint: this is the GENERIC equi-join surface (Q07 is the
-    hinted one), and at a scale where orders stops auto-broadcasting the
-    planner correctly falls back to a key shuffle — the final ``orderBy``
-    then re-sorts, trading the presort away for correctness.
+    hinted one). The presort is COST-BASED (``range_presorted_for_join``):
+    at a scale where orders stops auto-broadcasting, the planner falls
+    back to a key shuffle that destroys the pre-established order — the
+    presort would be paid and thrown away (measured: double range-sort of
+    the 60M-row fact at the 100× probe), so it is skipped exactly when
+    the planner's own size estimate says the join will shuffle.
     """
-    from final_project_big_data_spark.plans.ordering import range_presorted
+    from final_project_big_data_spark.plans.ordering import (
+        range_presorted_for_join,
+    )
 
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_linenumber"
     )
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     return (
-        range_presorted(li, "l_orderkey", "l_linenumber")
+        range_presorted_for_join(li, o, "l_orderkey", "l_linenumber")
         .join(o, F.col("l_orderkey") == o.o_orderkey, "inner")
         .select("l_orderkey", "l_linenumber", "o_totalprice")
         .orderBy("l_orderkey", "l_linenumber")

@@ -45,24 +45,47 @@ def ship_package(spark: SparkSession) -> None:
     sc._fpbd_pkg_shipped = True
 
 
+def _local_cores() -> int:
+    """Executor-thread count for this host: SPARK_GRAFT_CPUS, else the
+    scheduler-visible CPU set (sees cgroup/taskset limits), else
+    cpu_count."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        try:
+            return len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):
+            return os.cpu_count() or 32
+
+
 def sized_shuffle_partitions(
     sf_dir: str,
     advisory_bytes: int | None = None,
     floor: int = 8,
-    ceiling: int = 4096,
+    tasks_per_core: int = 4,
 ) -> int:
-    """Initial shuffle-partition count sized to the DOMINANT INPUT, not to
-    core count.
+    """Initial shuffle-partition count sized to the DOMINANT INPUT, with a
+    tasks-per-core ceiling.
 
     AQE can only merge partitions, never split beyond the initial number —
     and even merged-away tasks were still planned. At small data volumes a
     cores-sized count (32 here) schedules dozens of near-empty sort/agg
     tasks per exchange and pays a wide range-exchange sampling fan-in;
-    measured at sf0.1 that's ~30% of the whole headline bench. The rule a
-    cluster job would apply is the same one used here: partitions ≈
-    largest-table bytes / advisory partition size, floored so every
-    exchange still exercises multi-partition paths and capped at 4096
-    (AQE merges from there on a real cluster).
+    measured at sf0.1 that's ~30% of the whole headline bench. So:
+    partitions ≈ largest-table bytes / advisory partition size, floored so
+    every exchange still exercises multi-partition paths.
+
+    The ceiling is ``cores × tasks_per_core``, NOT a large constant: on a
+    single host, parallelism is capped by cores, and every partition past
+    ~4 waves is pure scheduling overhead. The round-4 rule (cap 4096) was
+    overfit to the volumes it was tuned at — at the 100× probe
+    (1.8 GiB fact) it planned 1841 one-MiB sort tasks and q06's
+    sort-heavy plan took 21.9 s; any capped count in the 32–256 range
+    lands it at 7–11 s (run-to-run noisy but the pathology is gone;
+    q22 4.1 → ~2.0 s; measured round 5, SCALE.md). A cluster submitter
+    applies the same rule with the cluster's total core count —
+    partitions still grow with executors, just never past the
+    useful-wave bound.
     """
     if advisory_bytes is None:
         advisory_bytes = int(
@@ -71,6 +94,7 @@ def sized_shuffle_partitions(
     biggest = _largest_table_bytes(sf_dir)
     if biggest == 0:
         return 32
+    ceiling = max(floor, _local_cores() * tasks_per_core)
     return max(floor, min(ceiling, biggest // advisory_bytes))
 
 
@@ -115,17 +139,8 @@ def sized_max_partition_bytes(
     128 MiB.
     """
     if cores is None:
-        try:
-            cores = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
-        except ValueError:
-            # unset/garbled env: size to the ACTUAL host, not a literal —
-            # a hardcoded 32 mis-sizes scan splits on any other machine
-            # (ADVICE r4). sched_getaffinity sees cgroup/taskset limits
-            # that cpu_count() ignores.
-            try:
-                cores = len(os.sched_getaffinity(0))
-            except (AttributeError, OSError):
-                cores = os.cpu_count() or 32
+        # sized to the ACTUAL host, not a hardcoded literal (ADVICE r4)
+        cores = _local_cores()
     biggest = _largest_table_bytes(sf_dir)
     if biggest == 0:
         return ceiling

@@ -14,6 +14,7 @@ import os
 
 from final_project_big_data_spark.session import (
     _largest_table_bytes,
+    _local_cores,
     sized_max_partition_bytes,
     sized_shuffle_partitions,
 )
@@ -48,10 +49,20 @@ def test_shuffle_partitions_scales_with_data(tmp_path):
     _mkparquet(tmp_path, "t", 20 * 1024 * 1024)
     got = sized_shuffle_partitions(str(tmp_path), advisory_bytes=1024 * 1024)
     assert got == 20
-    # floor and ceiling clamp
+    # floor clamp
     assert sized_shuffle_partitions(str(tmp_path), advisory_bytes=1 << 40) == 8
+    # ceiling is tasks-per-core waves, not a large constant: the round-4
+    # 4096 cap planned 1841 one-MiB sort tasks at the 100x probe (q06
+    # 21.9 s of mostly scheduling; see session.py docstring)
     assert (
-        sized_shuffle_partitions(str(tmp_path), advisory_bytes=1) == 4096
+        sized_shuffle_partitions(str(tmp_path), advisory_bytes=1)
+        == _local_cores() * 4
+    )
+    assert (
+        sized_shuffle_partitions(
+            str(tmp_path), advisory_bytes=1, tasks_per_core=2
+        )
+        == _local_cores() * 2
     )
 
 
