@@ -115,6 +115,39 @@ def test_no_cartesian_anywhere(spark, sf_dir, name):
     assert "CartesianProduct" not in p, p
 
 
+def test_presort_for_join_is_cost_based(spark, sf_dir):
+    """range_presorted_for_join presorts only while the build side fits
+    the broadcast threshold (round 5): the presort is valid only under
+    BroadcastHashJoin's streamed-side order preservation, so with the
+    threshold forced to 1 byte (→ shuffle join) the helper must return
+    the input UNCHANGED — no wasted range exchange below a join that
+    will destroy its order (measured at the 100× probe: a double range-
+    sort of the 60M-row fact)."""
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.plans.ordering import (
+        range_presorted_for_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    presorted = range_presorted_for_join(li, o, "l_orderkey")
+    assert "repartitionbyrange" in presorted._jdf.queryExecution().logical() \
+        .toString().lower().replace(" ", "") or presorted is not li
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        plain = range_presorted_for_join(li, o, "l_orderkey")
+        assert plain is li  # unchanged: the planner would shuffle
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_salted_join_equivalence_and_distribution(spark, sf_dir):
     """salted_join == plain join, and the physical shuffle key includes the
     salt column (the whole point: hot keys scatter across n_salts tasks)."""
