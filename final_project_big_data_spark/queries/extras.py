@@ -146,21 +146,37 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     ``size(collect_set(x) OVER w)``; the oracle uses the equivalent
     aggregate-then-join rewrite.
 
-    Scale note: per-partition state is the distinct-key set, bounded by
-    |supplier| (a dimension), not by lineitem row count — acceptable. For
-    distinct counts over high-cardinality keys the aggregate+broadcast-join
-    rewrite (the oracle's shape) or HLL sketches (a01) are the scale path.
+    Scale note (hardened round 5 after the 100× sweep hung here): the
+    window runs over the DEDUPLICATED (flag, suppkey) pairs, never the
+    raw fact. ``l_returnflag`` has 3 values, so a window over lineitem
+    funnels the whole table through 3 single-threaded, fully-buffered
+    window partitions — 60M rows at the 100× probe. The distinct-pairs
+    aggregate (one map-side-combinable shuffle, output bounded by
+    |flags|×|suppliers|) makes the window's partition width dimension-
+    bounded; the per-flag counts then broadcast-join back to the
+    filtered fact rows, with the row filter pushed to the scan. Same
+    surface, same results, no unbounded window partition. For
+    high-cardinality keys the HLL sketch (a01) remains the scale path.
     """
     li = load_table(spark, sf, "lineitem")
     w = W.partitionBy("l_returnflag")
-    return (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
+    counts = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .select(
             "l_returnflag",
-            F.size(F.collect_set("l_suppkey").over(w)).alias("distinct_supps"),
+            F.size(F.collect_set("l_suppkey").over(w)).alias(
+                "distinct_supps"
+            ),
         )
-        .filter(F.col("l_orderkey") < 500)
+        .distinct()
+    )
+    return (
+        li.filter(F.col("l_orderkey") < 500)
+        .join(F.broadcast(counts), "l_returnflag")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "distinct_supps"
+        )
         .orderBy("l_orderkey", "l_linenumber")
     )
 

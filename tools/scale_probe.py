@@ -57,7 +57,14 @@ SHIFT = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "embeddings": ["vec_id"],
+    # label is a BLOCK KEY (d06 joins within equal labels): scaling must
+    # grow the NUMBER of blocks, not their density — shifting vec_id
+    # alone made label blocks 100x denser at the 100x probe and the
+    # label-blocked pair count grew 10,000x (quadratic in density; the
+    # first guarded sweep hung there). Real corpora grow in number of
+    # near-dup groups at roughly constant group size, which per-copy
+    # label shifting reproduces exactly.
+    "embeddings": ["vec_id", "label"],
 }
 FIXED = ["region", "nation"]
 # copied unscaled so the FULL registry (tests.sweep_registry) can run
