@@ -854,16 +854,19 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q32a_date_parts",
-    oracle="""
+    oracle=f"""
     SELECT CAST(year(o_orderdate) AS INT)  AS yr,
            CAST(month(o_orderdate) AS INT) AS mo,
            count(*) AS cnt,
-           round(sum(o_totalprice), 4) AS sum_price
+           round({money_sum_sql('o_totalprice')}, 4) AS sum_price
     FROM orders GROUP BY 1, 2 ORDER BY yr, mo
     """,
     category="scalar",
 )
 def q32a(spark: SparkSession, sf: str) -> DataFrame:
+    # money sum via plans.money: year-month group sums reach ~4.3e10 at
+    # the 100x probe, where raw double sums drift in the 4th decimal
+    # between engines (caught by the first guarded 100x sweep, round 5)
     o = load_table(spark, sf, "orders")
     return (
         o.groupBy(
@@ -872,7 +875,7 @@ def q32a(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(money_sum("o_totalprice"), 4).alias("sum_price"),
         )
         .orderBy("yr", "mo")
     )
