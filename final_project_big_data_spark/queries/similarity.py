@@ -222,8 +222,24 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_N_CENTROIDS = 16
-_N_PROBE = 2  # each query searches its 2 closest inverted lists
+# IVF sizing (round 5, found by the guarded 100× sweep): a FIXED centroid
+# count is a scale defect — d10's within-cluster pair join costs Σ|cluster|²
+# ≈ n²/k, so pinning k=16 made the pair stage grow quadratically with the
+# corpus (the 100× sweep hung there). k = ⌈√n⌉ balances the n·k assignment
+# work against the n²/k pair work (both are d-dim dot products, so √n is
+# the exact minimizer: total 2·n^1.5). nprobe then scales as ⌈k/8⌉ so the
+# scanned corpus fraction (nprobe/k) — and therefore recall — stays put as
+# data grows, until the _MAX_NPROBE cap lets the fraction shrink at
+# cluster scale (the honest ANN recall/cost trade, documented here rather
+# than hidden). Both knobs derive from count(embeddings) IDENTICALLY in
+# the Spark plan and the DuckDB oracle, so the engines always train the
+# same index. _MAX_CENTROIDS bounds the seed-candidate TakeOrdered so the
+# row_number window that ranks seeds runs over ≤65536 rows (~35 MB), never
+# the corpus; k saturates there around n ≈ 4.3e9 vectors.
+_MIN_CENTROIDS = 16
+_MAX_CENTROIDS = 65536
+_MIN_NPROBE = 2
+_MAX_NPROBE = 64
 _DIM = 64
 
 
@@ -272,7 +288,18 @@ def _ivf_assign_sql() -> str:
     """DuckDB mirror of the trained-IVF assignment (init → one Lloyd pass
     → final per-vector centroid), shared by s03's ANN oracle and d10's
     SemDeDup oracle. Ends at CTE ``assigned2`` = (vec_id, v, nv,
-    centroid_id)."""
+    centroid_id).
+
+    Memory shape (round 5, found at the 100× sweep): the n×k affinity
+    relations carry ONLY (vec_id, centroid_id, aff) — with the 64-dim
+    vector inlined they reach n·k·~550 B (≈50 GB at the 100× probe,
+    DuckDB OOM); as 3 scalars they stream through the argmax. The argmax
+    itself is a max-over-struct hash aggregate (identical tie-break to
+    the window formulation: aff DESC, centroid_id DESC), not a window —
+    a row_number sort over the n×k affinity relation is the same
+    O(n·k log n·k) trap at scale, and it exactly mirrors the Spark
+    plan's ``max(struct(aff, centroid_id))`` argmax. Vectors are joined
+    back from ``en`` by vec_id afterwards."""
     return f"""
     WITH en AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -280,21 +307,33 @@ def _ivf_assign_sql() -> str:
                                    embedding::DOUBLE[])) AS nv
       FROM embeddings
     ),
+    knob AS (
+      SELECT least({_MAX_CENTROIDS}, greatest({_MIN_CENTROIDS},
+                   CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
+      FROM en
+    ),
     init AS (
       SELECT vec_id AS centroid_id, v AS cv, nv AS nc
-      FROM en ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT {_N_CENTROIDS}
+      FROM (SELECT *, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM en)
+      WHERE rn <= (SELECT k FROM knob)
     ),
     aff1 AS (
-      SELECT e.vec_id, e.v, c.centroid_id,
+      SELECT e.vec_id, c.centroid_id,
              list_dot_product(e.v, c.cv) / (e.nv * c.nc) AS aff
       FROM en e CROSS JOIN init c
     ),
+    best1 AS (
+      SELECT vec_id,
+             struct_extract(max(struct_pack(aff := aff,
+                                            centroid_id := centroid_id)),
+                            'centroid_id') AS centroid_id
+      FROM aff1 GROUP BY vec_id
+    ),
     assigned1 AS (
-      SELECT vec_id, v, centroid_id
-      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY aff DESC, centroid_id DESC) AS rn FROM aff1)
-      WHERE rn = 1
+      SELECT e.vec_id, e.v, b.centroid_id
+      FROM en e JOIN best1 b ON e.vec_id = b.vec_id
     ),
     means AS (
       SELECT centroid_id, list(m ORDER BY i) AS cv
@@ -307,15 +346,20 @@ def _ivf_assign_sql() -> str:
       SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM means
     ),
     aff2 AS (
-      SELECT e.vec_id, e.v, e.nv, c.centroid_id,
+      SELECT e.vec_id, c.centroid_id,
              list_dot_product(e.v, c.cv) / (e.nv * c.nc) AS aff
       FROM en e CROSS JOIN cents c
     ),
+    best2 AS (
+      SELECT vec_id,
+             struct_extract(max(struct_pack(aff := aff,
+                                            centroid_id := centroid_id)),
+                            'centroid_id') AS centroid_id
+      FROM aff2 GROUP BY vec_id
+    ),
     assigned2 AS (
-      SELECT vec_id, v, nv, centroid_id
-      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY aff DESC, centroid_id DESC) AS rn FROM aff2)
-      WHERE rn = 1
+      SELECT e.vec_id, e.v, e.nv, b.centroid_id
+      FROM en e JOIN best2 b ON e.vec_id = b.vec_id
     )"""
 
 
@@ -327,11 +371,14 @@ def _s03_sql() -> str:
     ranking → aff DESC, centroid_id ASC)."""
     return _ivf_assign_sql() + f""",
     probes AS (
-      SELECT vec_id AS query_id, v AS qv, nv AS nq,
-             centroid_id AS probe_centroid
-      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY aff DESC, centroid_id ASC) AS rn FROM aff2)
-      WHERE vec_id < {_N_QUERIES} AND rn <= {_N_PROBE}
+      SELECT vec_id AS query_id, qv, nq, centroid_id AS probe_centroid
+      FROM (SELECT a.vec_id, e.v AS qv, e.nv AS nq, a.centroid_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY a.aff DESC, a.centroid_id ASC) AS rn
+            FROM aff2 a JOIN en e ON a.vec_id = e.vec_id
+            WHERE a.vec_id < {_N_QUERIES})
+      WHERE rn <= (SELECT greatest({_MIN_NPROBE}, least({_MAX_NPROBE},
+                       CAST(ceil(k / 8.0) AS BIGINT))) FROM knob)
     ),
     scored AS (
       SELECT p.query_id, b.vec_id AS neighbor_id,
@@ -351,18 +398,41 @@ def _s03_sql() -> str:
 def _ivf_assigned(spark: SparkSession, sf: str):
     """Trained-IVF assignment shared by s03 (ANN) and d10 (SemDeDup):
     seeded md5 init → one Lloyd pass (``_lloyd_refine``) → per-vector
-    argmax centroid. Returns (aff, assigned): ``aff`` keeps every
+    argmax centroid. Returns (aff, assigned, kdf): ``aff`` keeps every
     (vector, centroid) affinity struct for probe ranking; ``assigned`` is
-    the final (vec_id, v, nv, centroid_id). Mirrors ``_ivf_assign_sql``
-    bit-for-bit (8-decimal quantized centroid means)."""
+    the final (vec_id, v, nv, centroid_id); ``kdf`` is the 1-row
+    data-derived centroid-count frame (see the sizing comment at
+    ``_MIN_CENTROIDS``). Mirrors ``_ivf_assign_sql`` bit-for-bit
+    (8-decimal quantized centroid means, identical k derivation).
+
+    The k derivation stays LAZY (no builder-time job, pinned by
+    tests/test_similarity.py): k comes from a 1-row count aggregate that
+    is broadcast-crossed into the seed ranking, and the global
+    row_number that ranks seeds runs over the ``limit(_MAX_CENTROIDS)``
+    TakeOrdered candidate set — bounded rows on one task — never over
+    the corpus."""
     e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    kdf = en.agg(
+        F.least(
+            F.lit(_MAX_CENTROIDS),
+            F.greatest(
+                F.lit(_MIN_CENTROIDS), F.ceil(F.sqrt(F.count(F.lit(1))))
+            ),
+        )
+        .cast("int")
+        .alias("k")
+    )
+    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
     init = (
-        en.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_N_CENTROIDS)
+        en.orderBy(*seed_order)
+        .limit(_MAX_CENTROIDS)
+        .withColumn("rn", F.row_number().over(W.orderBy(*seed_order)))
+        .crossJoin(F.broadcast(kdf))
+        .filter(F.col("rn") <= F.col("k"))
         .select(
             F.col("vec_id").alias("centroid_id"),
             F.col("v").alias("cv"),
@@ -385,7 +455,7 @@ def _ivf_assigned(spark: SparkSession, sf: str):
         F.first("v").alias("v"),
         F.first("nv").alias("nv"),
     )
-    return aff, assigned
+    return aff, assigned, kdf
 
 
 @query("s03_ivf_ann_topk", oracle=_s03_sql(), category="similarity")
@@ -393,31 +463,42 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-bucketed ANN: coarse quantize → inverted-list equi-join → exact
     cosine re-rank. The second scale path next to s02's LSH.
 
-    Coarse centroids are TRAINED: a deterministic seeded init (the 16
-    smallest ``md5(vec_id)`` rows — a uniform pseudo-random sample with no
-    density assumption on vec_ids) refined by one Lloyd pass
-    (``_lloyd_refine``). MLlib ``KMeans.fit`` would be eager — it runs
-    jobs at build time — so the training is expressed as lazy DataFrame
-    ops instead; a cluster deployment would persist the trained centers
-    once and reuse them across queries. Assignment is a broadcast
-    nested-loop against the 16-row centroid table followed by an argmax
-    aggregation keyed on ``vec_id`` — one shuffle, map-side combinable.
-    Candidates then come from an equi-join on ``centroid_id`` (nprobe=2 on
-    the query side), so the corpus is never cross-joined: O(n·16)
-    assignment + O(n·k/B·nprobe) candidate scoring, both linear in corpus
-    size and partitionable across any number of executors.
+    Coarse centroids are TRAINED: a deterministic seeded init (the
+    k = ⌈√n⌉ smallest ``md5(vec_id)`` rows — a uniform pseudo-random
+    sample with no density assumption on vec_ids; see the sizing comment
+    at ``_MIN_CENTROIDS``) refined by one Lloyd pass (``_lloyd_refine``).
+    MLlib ``KMeans.fit`` would be eager — it runs jobs at build time —
+    so the training is expressed as lazy DataFrame ops instead; a
+    cluster deployment would persist the trained centers once and reuse
+    them across queries. Assignment is a broadcast nested-loop against
+    the k-row centroid table followed by an argmax aggregation keyed on
+    ``vec_id`` — one shuffle, map-side combinable. Candidates then come
+    from an equi-join on ``centroid_id`` (nprobe = ⌈k/8⌉ on the query
+    side, so the scanned fraction — and recall — holds as data grows up
+    to the ``_MAX_NPROBE`` cap), and the corpus is never cross-joined:
+    O(n·√n) assignment + O(nq·n·nprobe/k) candidate scoring, both
+    partitionable across any number of executors.
 
     Verified by recall@k against s01 plus determinism
     (tests/test_similarity.py); rows-only driver check. No eager job runs
     at build time (pinned in tests/test_similarity.py).
     """
-    aff, assigned = _ivf_assigned(spark, sf)
+    aff, assigned, kdf = _ivf_assigned(spark, sf)
+    npdf = kdf.select(
+        F.greatest(
+            F.lit(_MIN_NPROBE),
+            F.least(F.lit(_MAX_NPROBE), F.ceil(F.col("k") / F.lit(8.0))),
+        )
+        .cast("int")
+        .alias("np")
+    )
     # query side: top-nprobe centroids per probe vector
     wq = W.partitionBy("vec_id").orderBy(F.desc(F.col("ac.aff")), F.asc(F.col("ac.centroid_id")))
     probes = (
         aff.filter(F.col("vec_id") < _N_QUERIES)
         .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= _N_PROBE)
+        .crossJoin(F.broadcast(npdf))
+        .filter(F.col("pr") <= F.col("np"))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -554,13 +635,15 @@ def d10(spark: SparkSession, sf: str) -> DataFrame:
     This is the scale-defining trick of semantic dedup: the O(n²) cosine
     matrix is never built — pairs exist only inside a cluster (equi-join
     on ``centroid_id``), so cost is Σ|cluster|², tuned by the centroid
-    count (√n centroids → ~n pairs total). The pair join shuffles on
-    centroid_id; skewed clusters are the known failure mode and the cap
-    strategy from d03 (bucket-size limit) applies unchanged. Keeper
+    count. k = ⌈√n⌉ (data-derived since round 5 — a FIXED k made the
+    pair stage quadratic again and the guarded 100× sweep hung on it;
+    see ``_MIN_CENTROIDS``) keeps total pair work ~n^1.5. The pair join
+    shuffles on centroid_id; skewed clusters are the known failure mode
+    and the cap strategy from d03 (bucket-size limit) applies unchanged. Keeper
     choice (min id) makes the pass deterministic and idempotent —
     re-running on the deduped corpus drops nothing.
     """
-    _, assigned = _ivf_assigned(spark, sf)
+    _, assigned, _ = _ivf_assigned(spark, sf)
     a = assigned.select(
         F.col("vec_id").alias("ka"),
         F.col("v").alias("va"),
