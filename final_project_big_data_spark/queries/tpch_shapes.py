@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.plans.money import money_sum, money_sum_sql
 from final_project_big_data_spark.plans.rounding import (
     round_half_up,
     round_half_up_sql,
@@ -475,8 +476,9 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q94_tpch_q19_disjunctive",
-    oracle="""
-    SELECT ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    oracle=f"""
+    SELECT ROUND({money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')}, 4)
+           AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
            AND l.l_quantity >= 1 AND l.l_quantity <= 20)
@@ -505,10 +507,15 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         | ((brand == "Brand#2") & size.between(5, 20) & qty.between(10, 30))
         | ((brand == "Brand#3") & size.between(10, 40) & qty.between(20, 50))
     )
+    # Q19's revenue is a SINGLE global sum — it crossed the ~5e10 money-
+    # drift zone at the 100x sweep (7.3e10; 4th-decimal accumulation-
+    # order divergence), so it takes the plans.money exact path. The
+    # grouped TPC-H revenues (q86-q92) stay on double sums: their
+    # per-group magnitudes sit below the zone and are 100x-sweep-green.
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(branch)
-        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .agg(F.round(money_sum(_rev()), 4).alias("revenue"))
     )
 
 
