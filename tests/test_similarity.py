@@ -76,3 +76,51 @@ def test_builders_run_no_eager_jobs(spark, sf_dir):
                  "a06_freq_items"):
         got = jobs(lambda: all_specs()[name].builder(spark, sf_dir))
         assert got == 0, f"{name} ran {got} jobs at build (floor 0)"
+
+
+def test_ivf_knobs_identical_across_engines(spark, sf_dir, duck):
+    """The IVF centroid count k = min(65536, max(16, ceil(sqrt(n)))) and
+    nprobe = max(2, min(64, ceil(k/8))) are DATA-DERIVED (round 5 — a
+    fixed k made d10's pair join quadratic in corpus size). Both engines
+    must derive the SAME values from the same corpus or they train
+    different indexes and every downstream assignment diverges; this
+    pins the two formula copies (the lazy kdf broadcast in
+    ``_ivf_assigned`` and the ``knob`` CTE in ``_ivf_assign_sql``)
+    against each other and against the closed form."""
+    import math
+
+    from final_project_big_data_spark.queries.similarity import (
+        _MAX_CENTROIDS,
+        _MAX_NPROBE,
+        _MIN_CENTROIDS,
+        _MIN_NPROBE,
+        _ivf_assigned,
+    )
+
+    n = duck.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    want_k = min(_MAX_CENTROIDS, max(_MIN_CENTROIDS, math.ceil(math.sqrt(n))))
+    want_np = max(_MIN_NPROBE, min(_MAX_NPROBE, math.ceil(want_k / 8)))
+
+    _, _, kdf = _ivf_assigned(spark, sf_dir)
+    got_k = kdf.collect()[0]["k"]
+    assert got_k == want_k, f"spark k {got_k} != closed form {want_k}"
+
+    sql_k, sql_np = duck.execute(
+        f"""
+        WITH en AS (SELECT vec_id FROM embeddings),
+        knob AS (
+          SELECT least({_MAX_CENTROIDS}, greatest({_MIN_CENTROIDS},
+                       CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
+          FROM en
+        )
+        SELECT k, greatest({_MIN_NPROBE}, least({_MAX_NPROBE},
+                   CAST(ceil(k / 8.0) AS BIGINT))) FROM knob
+        """
+    ).fetchone()
+    assert sql_k == want_k, f"oracle k {sql_k} != closed form {want_k}"
+    assert sql_np == want_np, f"oracle nprobe {sql_np} != {want_np}"
+
+    # the trained index really has (at most) k centroids, all used
+    _, assigned, _ = _ivf_assigned(spark, sf_dir)
+    n_clusters = assigned.select("centroid_id").distinct().count()
+    assert n_clusters <= want_k
