@@ -66,6 +66,13 @@ SHIFT = {
     # label shifting reproduces exactly.
     "embeddings": ["vec_id", "label"],
 }
+# per-column shift step overrides: label is a SELF-CONTAINED block key
+# (nothing joins it across tables), base cardinality 10 — spacing 1000
+# keeps it unique per copy while fitting its INT32 schema type at any
+# copy count up to ~2.1M (the default 1e7 step overflows INT32 past
+# ~214 copies; the 1000x run caught the silent BIGINT widening, which
+# io.load_table's schema check then rejected)
+STEP = {("embeddings", "label"): 1_000}
 FIXED = ["region", "nation"]
 # copied unscaled so the FULL registry (tests.sweep_registry) can run
 # against the probe dir as a 10x-volume correctness sweep: their
@@ -95,16 +102,29 @@ def materialize(copies: int) -> str:
                 f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
             ).fetchall()
         ]
-        selects = []
-        for i in range(copies):
-            proj = ", ".join(
-                f"({c} + {i * OFFSET}) AS {c}" if c in keys else c
-                for c in cols
-            )
-            selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
+        # one scan cross-joined against generate_series, not a UNION ALL
+        # per copy: the union form hit DuckDB's max_expression_depth at
+        # 1000 copies, and a single-pass multiply scales to any factor.
+        # Shifted columns are CAST back to their scanned type — BIGINT
+        # g.i would otherwise silently widen INT32 keys (and a genuine
+        # overflow now fails the cast loudly instead of widening).
+        types = dict(
+            (d[0], d[1])
+            for d in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
+            ).fetchall()
+        )
+        proj = ", ".join(
+            f"CAST({c} + g.i * {STEP.get((t, c), OFFSET)} "
+            f"AS {types[c]}) AS {c}"
+            if c in keys
+            else c
+            for c in cols
+        )
         con.execute(
-            f"COPY ({' UNION ALL '.join(selects)}) TO '{dst}.tmp' "
-            "(FORMAT PARQUET)"
+            f"COPY (SELECT {proj} FROM '{SRC}/{t}.parquet', "
+            f"(SELECT unnest(generate_series(0, {copies - 1})) AS i) g) "
+            f"TO '{dst}.tmp' (FORMAT PARQUET)"
         )
         os.replace(f"{dst}.tmp", dst)
     for t in FIXED:
