@@ -67,6 +67,7 @@ def main() -> None:
     from final_project_big_data_spark.queries import all_specs
     from final_project_big_data_spark.session import (
         get_spark,
+        sized_adaptive_enabled,
         sized_max_partition_bytes,
         sized_shuffle_partitions,
     )
@@ -78,6 +79,10 @@ def main() -> None:
     # tasks (~30% of headline wall-clock measured at sf0.1) while the
     # 128 MiB scan-split default plans ONE task per table scan (see
     # session.py docstrings for both rules)
+    # AQE follows the same data-sized rule (session.py): below the volume
+    # where static sizing already right-sizes every shuffle, each adaptive
+    # query-stage barrier is a paid scheduler job (4-7 jobs/query vs 1-4;
+    # measured -0.29 s on this headline set at sf0.1, round 6)
     spark = get_spark(
         app_name="bench",
         shuffle_partitions=sized_shuffle_partitions(sf_dir),
@@ -85,6 +90,9 @@ def main() -> None:
             "spark.sql.files.maxPartitionBytes": str(
                 sized_max_partition_bytes(sf_dir)
             ),
+            "spark.sql.adaptive.enabled": str(
+                sized_adaptive_enabled(sf_dir)
+            ).lower(),
         },
     )
     # warm up JVM / codegen so per-query numbers measure the plan
@@ -140,6 +148,32 @@ def main() -> None:
     if "s01_cosine_topk" in timings:
         ann["s01_spark"] = timings["s01_cosine_topk"]
 
+    # C19 replay rate as a recorded bench fact (VERDICT r5 #7): BASELINE.md
+    # claims ≥3 orders of magnitude over the reference producer's 0.5 msg/s
+    # (its per-row sleep(2) loop) — store the measured msg/s, not a claim.
+    # One end-to-end run: time-ordered replay files → throttled file stream
+    # → JSON envelope → memory sink, full event count / wall seconds.
+    replay_rate = None
+    try:
+        import shutil
+        import tempfile
+
+        from final_project_big_data_spark.streaming import pipeline as P
+
+        tmp = tempfile.mkdtemp(prefix="bench_replay_")
+        try:
+            rp = P.replay_dir(spark, sf_dir, os.path.join(tmp, "replay"))
+            t0 = time.perf_counter()
+            stream = P.file_stream(spark, rp, files_per_trigger=2)
+            P.run_to_memory(P.encode_json(stream), "bench_replay_out")
+            elapsed = time.perf_counter() - t0
+            n = spark.table("bench_replay_out").count()
+            replay_rate = round(n / elapsed, 1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — record and continue
+        errors["replay"] = f"{type(e).__name__}: {e}"[:300]
+
     duck_total = None
     duck_queries: dict[str, float] = {}
     try:
@@ -188,6 +222,13 @@ def main() -> None:
                 duck_compute[name] = round(best, 3)
             except Exception as e:  # noqa: BLE001
                 errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
+                # both DuckDB series must cover the SAME query set: if the
+                # CTAS timing failed after the fetchall succeeded, dropping
+                # only the compute entry would make duckdb_compute_total_sec
+                # sum fewer queries than the fetchall/Spark totals with no
+                # comparability flag (ADVICE r5)
+                duck_queries.pop(name, None)
+                duck_compute.pop(name, None)
         duck_total = round(sum(duck_queries.values()), 3)
         if "s01_cosine_topk" in duck_queries:
             ann["s01_duckdb"] = duck_queries["s01_cosine_topk"]
@@ -214,16 +255,20 @@ def main() -> None:
     out["extra_queries"] = extras
     if ann:
         out["ann"] = ann
+    if replay_rate is not None:
+        out["replay_msgs_per_sec"] = replay_rate
     if duck_total is not None:
         out["duckdb_total_sec"] = duck_total
         out["duckdb_queries"] = duck_queries
         out["duckdb_compute_queries"] = duck_compute
         out["duckdb_compute_total_sec"] = round(sum(duck_compute.values()), 3)
         # true only when both engines timed the identical headline set —
-        # the spark-vs-duckdb ratio is meaningless otherwise
+        # the spark-vs-duckdb ratio is meaningless otherwise; the compute
+        # (CTAS) series is held to the same set by construction (a CTAS
+        # failure evicts the query from BOTH duckdb series above)
         out["totals_comparable"] = set(duck_queries) == {
             n for n in timings if specs[n].oracle
-        }
+        } and set(duck_compute) == set(duck_queries)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -46,32 +46,117 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def money_units(col: Column | str, scale: int = 4) -> Column:
+    """Quantize a fixed-point money expression to exact unscaled BIGINT
+    units: ``CAST(round(col * 10^scale) AS LONG)``.
+
+    The shared building block: :func:`money_sum` sums these, and plans
+    that need the INTEGER domain itself (q92's argmax-on-aggregate, where
+    ties must be exact) aggregate these directly and render at the end.
+
+    Quantization is ``floor(x*10^scale + 0.5)``, NOT ``round(·)``: Spark's
+    ROUND on a double routes through a per-row ``BigDecimal.setScale``
+    allocation, which round 6 measured at 2.1x the whole aggregate cost of
+    q15 (0.385 s → 0.184 s at sf0.1 after the switch). floor(x+0.5) stays
+    in primitive double math inside whole-stage codegen and is EXACT for
+    this input class: the true product is an integer n, the double x lands
+    within ~1e-7 of n, so x+0.5 ∈ (n+0.5-ε, n+0.5+ε) and floors to n on
+    both engines (0.5 is a power of two — the add is exact; the two
+    functions could only disagree near half-integers, which |x-n|≤ε rules
+    out by construction). Holds for negative money too: floor(-n+0.5±ε)
+    = -n while ε < 0.5.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * (10**scale) + F.lit(0.5)).cast("long")
+
+
+def money_units_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB/shared-dialect mirror of :func:`money_units` (same
+    floor(x+0.5) quantization — see the exactness argument there).
+
+    Cast down to BIGINT explicitly: DuckDB would otherwise widen sums of
+    these to HUGEINT/DECIMAL and downstream division types could drift
+    from Spark's long/double → double. The 0.5 is CAST(... AS DOUBLE)
+    because Spark SQL parses bare decimal-point literals as DECIMAL
+    (shared-dialect rule; see :func:`money_from_units_sql`).
+    """
+    p = 10**scale
+    return f"CAST(floor(({expr}) * {p} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+
+def money_from_units(col: Column | str, scale: int = 4) -> Column:
+    """Render unscaled BIGINT units back to a money double.
+
+    The quotient is the nearest double to the exact ``scale``-decimal
+    value and is bit-identical on both engines; do NOT wrap it in an
+    outer ``round(·, scale)`` — Spark rounds via exact BigDecimal while
+    DuckDB computes ``x*10^scale`` in floating point, and the two can
+    legally disagree by one ulp once ``|x|*10^scale > 2^53`` (the q65
+    drift class, found by the 100x sweep).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c / F.lit(float(10**scale))
+
+
+def money_from_units_sql(expr: str, scale: int = 4) -> str:
+    """Shared-dialect mirror of :func:`money_from_units`.
+
+    The divisor is ``CAST(p AS DOUBLE)``, not the literal ``10000.0`` —
+    Spark SQL parses decimal-point literals as DECIMAL, which would drag
+    the division into decimal typing when this text runs through the SQL
+    entry point (oracle strings are written in the Spark∩DuckDB shared
+    dialect and MUST type identically in both).
+    """
+    return f"({expr}) / CAST({10 ** scale} AS DOUBLE)"
+
+
 def money_sum(col: Column | str, scale: int = 4) -> Column:
     """Exact order-independent SUM of a fixed-point money expression.
 
     Returns a double column: ``sum(round(col*10^scale) as long)/10^scale``.
     ``col`` may be any expression whose true values have <= ``scale``
     decimal digits (see module docstring for the exactness argument and
-    the 2^63 volume bound).
+    the 2^63 volume bound). The result is already canonical — never wrap
+    it in an outer ``round`` (see :func:`money_from_units`).
     """
     c = F.col(col) if isinstance(col, str) else col
-    p = 10**scale
-    return F.sum(F.round(c * p).cast("long")) / F.lit(float(p))
+    return money_from_units(F.sum(money_units(c, scale)), scale)
 
 
 def money_sum_sql(expr: str, scale: int = 4) -> str:
-    """DuckDB-side mirror of :func:`money_sum` (same quantize/sum/divide).
+    """DuckDB-side mirror of :func:`money_sum` (same quantize/sum/divide),
+    built from the same unit helpers as the Spark column."""
+    return money_from_units_sql(f"sum({money_units_sql(expr, scale)})", scale)
 
-    Cast down to BIGINT explicitly: DuckDB would otherwise widen the sum
-    to HUGEINT/DECIMAL and the division result type could drift from
-    Spark's long/double → double. The divisor is ``CAST(p AS DOUBLE)``,
-    not the literal ``10000.0`` — Spark SQL parses decimal-point literals
-    as DECIMAL, which would drag the whole division into decimal typing
-    when this text runs through the SQL entry point (the oracle strings
-    are written in the Spark∩DuckDB shared dialect and MUST type
-    identically in both).
+
+def fixed_render(col: Column | str, scale: int = 4) -> Column:
+    """Per-row fixed-``scale`` decimal rendering: ``floor(x*10^s + 0.5)/10^s``.
+
+    Use this instead of ``F.round(col, scale)`` in PER-ROW hot paths.
+    Equal to ROUND(x, s) for every x whose ``x*10^s`` is not exactly a
+    half-integer double (true for all real-valued math outputs — sqrt/ln/
+    products land on half-integers with probability zero), but:
+
+    - **fast**: stays in primitive double math inside whole-stage codegen,
+      while Spark's ROUND on a double allocates a ``BigDecimal.setScale``
+      per row (measured round 6: 4 renders over sf0.1 lineitem cost
+      ~0.7 s/pass as ROUND vs ~0.02 s as floor-form);
+    - **cross-engine stable**: both engines floor the SAME double, while
+      Spark's exact-BigDecimal ROUND vs DuckDB's float-math ROUND can
+      legally disagree by one ulp (the q65 drift class).
+
+    Not for money COLUMN values being compared/tied — those go through
+    :func:`money_units`; this is output rendering only.
     """
+    c = F.col(col) if isinstance(col, str) else col
+    p = 10**scale
+    return F.floor(c * p + F.lit(0.5)) / F.lit(float(p))
+
+
+def fixed_render_sql(expr: str, scale: int = 4) -> str:
+    """Shared-dialect mirror of :func:`fixed_render` (same floor form;
+    decimal literals CAST to DOUBLE per the shared-dialect rule)."""
     p = 10**scale
     return (
-        f"sum(CAST(round(({expr}) * {p}) AS BIGINT)) / CAST({p} AS DOUBLE)"
+        f"floor(({expr}) * {p} + CAST(0.5 AS DOUBLE)) / CAST({p} AS DOUBLE)"
     )

@@ -116,3 +116,23 @@ def range_presorted_for_join(
     if 0 <= est <= thresh:
         return range_presorted(df, *keys)
     return df
+
+
+def tiny_sorted(df: DataFrame, *keys: str) -> DataFrame:
+    """Global sort for provably-TINY outputs (top-k-per-group results,
+    bounded by k × #groups): one round-robin shuffle into a single
+    partition + in-partition sort.
+
+    Why not ``orderBy``: the range exchange's sampling pass RE-EXECUTES
+    the child plan to pick bounds (for s01 that is the whole
+    window-rank-over-join pipeline, run twice — measured 0.271 s vs
+    0.184 s at sf0.1). For an output bounded at a few hundred rows the
+    bounds are worthless anyway: the data fits one task. ``repartition(1)``
+    (not ``coalesce(1)``, which would collapse the UPSTREAM stages to a
+    single task and serialize the scan/join work) keeps the heavy plan
+    fully parallel and moves only the tiny result through one shuffle.
+
+    Use ONLY where the row count is structurally bounded by the query
+    shape (rank ≤ k filters); a data-sized output would serialize.
+    """
+    return df.repartition(1).sortWithinPartitions(*keys)

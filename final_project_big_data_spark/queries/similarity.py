@@ -82,11 +82,19 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
-    return (
+    # tiny_sorted: the output is bounded at _N_QUERIES*_TOP_K rows; a
+    # plain orderBy would re-execute the window pipeline for range-bound
+    # sampling (plans/ordering.py, measured -32% on this query, round 6)
+    from final_project_big_data_spark.plans.ordering import tiny_sorted
+
+    return tiny_sorted(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank")
-        .orderBy("query_id", "rank")
+        .select(
+            "query_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank"
+        ),
+        "query_id",
+        "rank",
     )
 
 

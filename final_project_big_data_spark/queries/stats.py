@@ -211,9 +211,9 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
-           round({money_sum_sql(
+           {money_sum_sql(
                'CASE WHEN l_discount > 0.05 THEN l_extendedprice END'
-           )}, 4)
+           )}
              AS disc_rev,
            round(AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS avg_f_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -232,13 +232,8 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
-            F.round(
-                money_sum(
-                    F.when(
-                        F.col("l_discount") > 0.05, F.col("l_extendedprice")
-                    )
-                ),
-                4,
+            money_sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
             ).alias("disc_rev"),
             F.round(
                 F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 4

@@ -31,7 +31,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
-from final_project_big_data_spark.plans.money import money_sum, money_sum_sql
+from final_project_big_data_spark.plans.money import (
+    money_from_units,
+    money_from_units_sql,
+    money_sum,
+    money_sum_sql,
+    money_units,
+    money_units_sql,
+)
 from final_project_big_data_spark.plans.rounding import (
     round_half_up,
     round_half_up_sql,
@@ -369,18 +376,18 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q92_tpch_q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
-                      AS BIGINT)) AS rev_units
+             sum({money_units_sql('l_extendedprice * (1 - l_discount)')})
+               AS rev_units
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           ROUND(r.rev_units / CAST(10000 AS DOUBLE), 4) AS total_revenue
+           {money_from_units_sql('r.rev_units')} AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.rev_units = (SELECT max(rev_units) FROM revenue)
     ORDER BY s.s_suppkey
@@ -408,10 +415,9 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev_units = F.round(
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
-        * 10000
-    ).cast("long")
+    rev_units = money_units(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev_units).alias("rev_units")
     )
@@ -424,9 +430,7 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("rev_units") / F.lit(10000.0), 4).alias(
-                "total_revenue"
-            ),
+            money_from_units("rev_units").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -477,7 +481,7 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q94_tpch_q19_disjunctive",
     oracle=f"""
-    SELECT ROUND({money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')}, 4)
+    SELECT {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')}
            AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
@@ -515,7 +519,7 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(branch)
-        .agg(F.round(money_sum(_rev()), 4).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
     )
 
 

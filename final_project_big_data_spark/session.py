@@ -63,6 +63,7 @@ def sized_shuffle_partitions(
     advisory_bytes: int | None = None,
     floor: int = 8,
     tasks_per_core: int = 4,
+    cores: int | None = None,
 ) -> int:
     """Initial shuffle-partition count sized to the DOMINANT INPUT, with a
     tasks-per-core ceiling.
@@ -83,8 +84,11 @@ def sized_shuffle_partitions(
     sort-heavy plan took 21.9 s; any capped count in the 32–256 range
     lands it at 7–11 s (run-to-run noisy but the pathology is gone;
     q22 4.1 → ~2.0 s; measured round 5, SCALE.md). A cluster submitter
-    applies the same rule with the cluster's total core count —
-    partitions still grow with executors, just never past the
+    applies the same rule with the cluster's total core count by passing
+    ``cores=`` explicitly (same contract as ``sized_max_partition_bytes``)
+    — ``_local_cores()`` only sees the driver host, so omitting it on a
+    cluster would silently undersize the ceiling to driver-cores×4.
+    Partitions still grow with executors, just never past the
     useful-wave bound.
     """
     if advisory_bytes is None:
@@ -94,8 +98,46 @@ def sized_shuffle_partitions(
     biggest = _largest_table_bytes(sf_dir)
     if biggest == 0:
         return 32
-    ceiling = max(floor, _local_cores() * tasks_per_core)
+    if cores is None:
+        cores = _local_cores()
+    ceiling = max(floor, cores * tasks_per_core)
     return max(floor, min(ceiling, biggest // advisory_bytes))
+
+
+def sized_adaptive_enabled(
+    sf_dir: str,
+    cores: int | None = None,
+    tasks_per_core: int = 4,
+    advisory_bytes: int | None = None,
+) -> bool:
+    """Data-sized AQE gate: adaptive execution ON iff the dominant input is
+    big enough that runtime re-planning can still change anything.
+
+    AQE executes each exchange as a BLOCKING query stage — one scheduler
+    job per materialized shuffle. That is the right trade at scale (it
+    buys runtime coalescing, skew-join splitting, and shuffle→broadcast
+    upgrades), but below the volume where ``sized_shuffle_partitions``
+    hits its cores×tasks_per_core ceiling, the static sizing has already
+    planned every shuffle as ≤``tasks_per_core`` right-sized waves — AQE
+    has nothing left to decide and each barrier is a pure paid job.
+    Measured round 6 (profile_bench.py, sf0.1): the 11 headline queries
+    run 4–7 jobs each with AQE on vs 1–4 off, −0.29 s total (3.446 →
+    3.151) on identical results.
+
+    The threshold is exactly the ceiling condition: largest-table bytes ≥
+    cores × tasks_per_core × advisory partition size (128 MiB at 32
+    cores × 4 × 1 MiB locally). The 10×/100×/1000× probes (184 MiB–14 GiB
+    facts) stay ON — skew handling at those volumes is load-bearing
+    (q72). A cluster submitter passes its total core count like the other
+    sized_* rules and lands ON for any real multi-executor volume.
+    """
+    if advisory_bytes is None:
+        advisory_bytes = int(
+            os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", str(1024 * 1024))
+        )
+    if cores is None:
+        cores = _local_cores()
+    return _largest_table_bytes(sf_dir) >= cores * tasks_per_core * advisory_bytes
 
 
 def _largest_table_bytes(sf_dir: str) -> int:
@@ -122,7 +164,7 @@ def _largest_table_bytes(sf_dir: str) -> int:
 def sized_max_partition_bytes(
     sf_dir: str,
     cores: int | None = None,
-    floor: int = 1024 * 1024,
+    floor: int = 4 * 1024 * 1024,
     ceiling: int = 128 * 1024 * 1024,
 ) -> int:
     """Scan-split size (``spark.sql.files.maxPartitionBytes``) targeting
@@ -134,9 +176,14 @@ def sized_max_partition_bytes(
     stage on a 32-core host (measured: -12% headline total at 10x volume,
     s01 -41%, after sizing splits to data/cores). Parquet is range-
     splittable, so smaller advisory splits cost only footer re-reads.
-    Floored at 1 MiB (per-task overhead dominates below) and capped at the
-    cluster default, which stays right once per-file bytes >> cores x
-    128 MiB.
+    Floored at 4 MiB and capped at the cluster default, which stays right
+    once per-file bytes >> cores x 128 MiB. The floor is a measured
+    break-even, not taste: a scan task does ~3 ms of decode work per MiB
+    here while costing ~1-2 ms to launch, so 1 MiB splits spend more
+    scheduler than scanner (round-6 sweep at sf0.1: 1 MiB → 4 MiB cut the
+    five sort/agg-heavy headline queries 1.73 → 1.50 s, q01 -25%; ≥8 MiB
+    is flat). Only sub-128 MiB inputs ever see the floor — probe volumes
+    (10x and up) size to data/cores above it.
     """
     if cores is None:
         # sized to the ACTUAL host, not a hardcoded literal (ADVICE r4)
@@ -234,6 +281,26 @@ def get_spark(
             # graceful sort-spill beats an OOM-prone giant hash build,
             # and AQE's skew-split serves both strategies.
             .config("spark.sql.join.preferSortMergeJoin", "false")
+            # Local fixed-overhead trims (round 6, measured together:
+            # -0.35 s on seven headline shapes at sf0.1, q06 -26%,
+            # q33 -20%; each is a memory-vs-safety trade that is only
+            # safe BECAUSE local partitions are data-sized small, so a
+            # cluster submitter keeps the spill-safe defaults):
+            # - 1 MiB shuffle write buffers: tmpfs-backed shuffle files,
+            #   fewer flush syscalls; at cluster reducer counts the
+            #   per-writer buffers would multiply out of task memory.
+            .config("spark.shuffle.file.buffer", "1m")
+            .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+            # - window/SMJ row buffers held on-heap instead of spilling
+            #   past 4096 rows: the biggest local partition is bounded by
+            #   the advisory size (~1 MiB), so the arrays stay small; a
+            #   cluster partition can be arbitrarily skewed -> default.
+            .config("spark.sql.windowExec.buffer.in.memory.threshold", "10000000")
+            .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "10000000")
+            # - range-bound sampling at 40 rows/partition (default 100):
+            #   with <=128 partitions the bounds pass is pure overhead
+            #   precision; cluster sorts keep the default sample density.
+            .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "40")
         )
         if os.path.isdir("/dev/shm"):
             shm = os.path.join("/dev/shm", f"spark-local-{os.getuid()}")

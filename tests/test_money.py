@@ -105,5 +105,51 @@ def test_money_sum_sql_mirror_bit_identical(spark, duck):
 
 
 def test_money_sum_sql_scale_param():
-    assert "* 100)" in money_sum_sql("x", scale=2)
+    assert "* 100 " in money_sum_sql("x", scale=2)
     assert "CAST(100 AS DOUBLE)" in money_sum_sql("x", scale=2)
+
+
+def test_money_units_negative_exact(spark):
+    """floor(x*p + 0.5) quantization (round 6) is exact for NEGATIVE money
+    too: floor(-n + 0.5 ± ε) = -n while ε < 0.5 (module docstring)."""
+    from final_project_big_data_spark.plans.money import money_units
+
+    rows = [(-1.25,), (-0.01,), (2.50,), (-999999.99,)]
+    df = spark.createDataFrame(rows, ["x"])
+    got = [r.u for r in df.select(money_units("x").alias("u")).collect()]
+    assert got == [-12500, -100, 25000, -9999999900]
+
+
+def test_fixed_render_matches_round_and_duckdb(spark, duck):
+    """fixed_render == ROUND(x,4) for non-tie values (math-fn outputs),
+    and the SQL mirror is bit-identical on DuckDB — the q33 render path."""
+    from final_project_big_data_spark.plans.money import (
+        fixed_render,
+        fixed_render_sql,
+    )
+
+    rows = [(float(i),) for i in range(2, 500)]
+    df = spark.createDataFrame(rows, ["x"])
+    got = [
+        r.v
+        for r in df.select(
+            fixed_render(F.sqrt("x")).alias("v")
+        ).collect()
+    ]
+    rounded = [
+        r.v for r in df.select(F.round(F.sqrt("x"), 4).alias("v")).collect()
+    ]
+    assert got == rounded  # sqrt outputs never land on half-integer ties
+    duck.execute(
+        "CREATE OR REPLACE TEMPORARY TABLE _fr AS SELECT * FROM (VALUES "
+        + ",".join(f"({v[0]!r})" for v in rows)
+        + ") t(x)"
+    )
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {fixed_render_sql('sqrt(x)')} FROM _fr ORDER BY x"
+        ).fetchall()
+    ]
+    duck.execute("DROP TABLE _fr")
+    assert got == want  # exact float equality

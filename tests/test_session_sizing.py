@@ -71,9 +71,11 @@ def test_max_partition_bytes_targets_data_per_core(tmp_path):
     # 184 MiB / 32 cores ≈ 5.75 MiB per split — 32-way scan parallelism
     got = sized_max_partition_bytes(str(tmp_path), cores=32)
     assert got == (184 * 1024 * 1024) // 32
-    # tiny data floors at 1 MiB (per-task overhead dominates below)
+    # tiny data floors at 4 MiB (round 6: a scan task does ~3 ms/MiB of
+    # decode vs ~1-2 ms launch cost, so 1 MiB splits spent more scheduler
+    # than scanner — measured -13% on sort/agg headline shapes at sf0.1)
     _mkparquet(tmp_path, "t", 2 * 1024 * 1024)
-    assert sized_max_partition_bytes(str(tmp_path), cores=32) == 1024 * 1024
+    assert sized_max_partition_bytes(str(tmp_path), cores=32) == 4 * 1024 * 1024
     # huge data caps at the 128 MiB cluster default
     _mkparquet(tmp_path, "t", 184 * 1024 * 1024)
     assert (

@@ -116,6 +116,58 @@ def lsh_topk(en, n_probes):
     )
 
 
+def ivf_topk(spark, sf_dir, n_probes):
+    """s03's plan shape with a parameterized probe set: IVF coarse
+    quantization (data-derived k=⌈√n⌉, one Lloyd pass) → inverted-list
+    equi-join on centroid id → exact cosine re-rank. Index build cost is
+    INSIDE the timing — the honest single-query convention; a deployment
+    amortizes the build across queries (noted in SCALE.md)."""
+    from final_project_big_data_spark.queries.similarity import (
+        _MAX_NPROBE,
+        _MIN_NPROBE,
+        _ivf_assigned,
+    )
+
+    aff, assigned, kdf = _ivf_assigned(spark, sf_dir)
+    npdf = kdf.select(
+        F.greatest(
+            F.lit(_MIN_NPROBE),
+            F.least(F.lit(_MAX_NPROBE), F.ceil(F.col("k") / F.lit(8.0))),
+        )
+        .cast("int")
+        .alias("np")
+    )
+    wq = W.partitionBy("vec_id").orderBy(
+        F.desc(F.col("ac.aff")), F.asc(F.col("ac.centroid_id"))
+    )
+    probes = (
+        aff.filter(F.col("vec_id") < n_probes)
+        .withColumn("pr", F.row_number().over(wq))
+        .crossJoin(F.broadcast(npdf))
+        .filter(F.col("pr") <= F.col("np"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+            F.col("ac.centroid_id").alias("probe_centroid"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        probes.join(
+            assigned,
+            (F.col("probe_centroid") == F.col("centroid_id"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cs")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 def timed_noop(df, runs=3):
     best = float("inf")
     for _ in range(runs):
@@ -163,6 +215,7 @@ def main() -> None:
             "lsh_pairs": lsh_scored(en, n).count(),
             "brute_spark": timed_noop(brute_topk(en, n)),
             "lsh_spark": timed_noop(lsh_topk(en, n)),
+            "ivf_spark": timed_noop(ivf_topk(spark, sf_dir, n)),
         }
         print(json.dumps(row))
     spark.stop()
