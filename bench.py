@@ -147,6 +147,10 @@ def main() -> None:
         ann["s02_spark"] = s02_t
     if "s01_cosine_topk" in timings:
         ann["s01_spark"] = timings["s01_cosine_topk"]
+    if "s03_ivf_ann_topk" in extras:
+        # all three ANN plan shapes in one row; the probe-set crossover
+        # (where each wins as corpus/probes grow) is the SCALE.md study
+        ann["s03_spark"] = extras["s03_ivf_ann_topk"]
 
     # C19 replay rate as a recorded bench fact (VERDICT r5 #7): BASELINE.md
     # claims ≥3 orders of magnitude over the reference producer's 0.5 msg/s

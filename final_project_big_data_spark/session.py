@@ -281,26 +281,17 @@ def get_spark(
             # graceful sort-spill beats an OOM-prone giant hash build,
             # and AQE's skew-split serves both strategies.
             .config("spark.sql.join.preferSortMergeJoin", "false")
-            # Local fixed-overhead trims (round 6, measured together:
-            # -0.35 s on seven headline shapes at sf0.1, q06 -26%,
-            # q33 -20%; each is a memory-vs-safety trade that is only
-            # safe BECAUSE local partitions are data-sized small, so a
-            # cluster submitter keeps the spill-safe defaults):
-            # - 1 MiB shuffle write buffers: tmpfs-backed shuffle files,
-            #   fewer flush syscalls; at cluster reducer counts the
-            #   per-writer buffers would multiply out of task memory.
-            .config("spark.shuffle.file.buffer", "1m")
-            .config("spark.shuffle.unsafe.file.output.buffer", "1m")
-            # - window/SMJ row buffers held on-heap instead of spilling
-            #   past 4096 rows: the biggest local partition is bounded by
-            #   the advisory size (~1 MiB), so the arrays stay small; a
-            #   cluster partition can be arbitrarily skewed -> default.
-            .config("spark.sql.windowExec.buffer.in.memory.threshold", "10000000")
-            .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "10000000")
-            # - range-bound sampling at 40 rows/partition (default 100):
-            #   with <=128 partitions the bounds pass is pure overhead
-            #   precision; cluster sorts keep the default sample density.
-            .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "40")
+            # Buffer-knob lesson (round 6, kept as a negative result):
+            # 1 MiB shuffle write buffers, 10M-row window/SMJ in-memory
+            # thresholds, and reduced range-sampling were each measured
+            # within run-to-run noise (±2%) once A/B'd in FRESH processes
+            # — the apparent -0.35 s came from JIT warm-up contaminating
+            # same-JVM sequential configs. Worse, the write buffers are a
+            # scale hazard: the bypass-merge writer opens one buffer per
+            # reduce partition, so at the 100x probe (128 partitions x
+            # 32 tasks x 1 MiB) they OOM'd an 8 GiB heap. Reverted to
+            # defaults; only knobs that survive fresh-process A/B at
+            # more than noise belong here.
         )
         if os.path.isdir("/dev/shm"):
             shm = os.path.join("/dev/shm", f"spark-local-{os.getuid()}")

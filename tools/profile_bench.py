@@ -46,11 +46,14 @@ def main() -> None:
     from final_project_big_data_spark.queries import all_specs
     from final_project_big_data_spark.session import (
         get_spark,
+        sized_adaptive_enabled,
         sized_max_partition_bytes,
         sized_shuffle_partitions,
     )
 
     specs = all_specs()
+    # bench-identical config (incl. the data-sized AQE gate) so the job
+    # counts decompose the same runs BENCH_r*.json records
     spark = get_spark(
         app_name="profile",
         shuffle_partitions=sized_shuffle_partitions(sf_dir),
@@ -58,6 +61,9 @@ def main() -> None:
             "spark.sql.files.maxPartitionBytes": str(
                 sized_max_partition_bytes(sf_dir)
             ),
+            "spark.sql.adaptive.enabled": str(
+                sized_adaptive_enabled(sf_dir)
+            ).lower(),
         },
     )
     sc = spark.sparkContext
