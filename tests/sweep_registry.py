@@ -42,12 +42,31 @@ def main() -> int:
     only = args[1:]
 
     from final_project_big_data_spark.queries import all_specs
-    from final_project_big_data_spark.session import get_spark
+    from final_project_big_data_spark.session import (
+        get_spark,
+        sized_adaptive_enabled,
+        sized_max_partition_bytes,
+        sized_shuffle_partitions,
+    )
     from tests.driver_mimic import compare_driver_style, hazards
     from tests.oracle import compare, duckdb_connect
 
+    # Data-sized session (round 6): the fixed local[8]/8-partition session
+    # was fine for sf0.01 but made high-volume sweeps needlessly slow and
+    # spill-prone (8 threads / 8 partitions against a 600M-row 1000x
+    # fact). Same sizing rules as bench.py; correctness is config-
+    # independent — that is the point of the sweep.
     spark = get_spark(
-        app_name="sweep", master="local[8]", shuffle_partitions=8
+        app_name="sweep",
+        shuffle_partitions=sized_shuffle_partitions(sf),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(
+                sized_max_partition_bytes(sf)
+            ),
+            "spark.sql.adaptive.enabled": str(
+                sized_adaptive_enabled(sf)
+            ).lower(),
+        },
     )
     con = duckdb_connect(sf)
     specs = all_specs()
