@@ -45,6 +45,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from final_project_big_data_spark.plans.rounding import (
+    round_half_up,
+    round_half_up_sql,
+)
+
 
 def money_units(col: Column | str, scale: int = 4) -> Column:
     """Quantize a fixed-point money expression to exact unscaled BIGINT
@@ -130,33 +135,20 @@ def money_sum_sql(expr: str, scale: int = 4) -> str:
 
 
 def fixed_render(col: Column | str, scale: int = 4) -> Column:
-    """Per-row fixed-``scale`` decimal rendering: ``floor(x*10^s + 0.5)/10^s``.
+    """Per-row fixed-``scale`` decimal rendering — delegates to
+    ``plans.rounding.round_half_up`` (single source of the floor form).
 
-    Use this instead of ``F.round(col, scale)`` in PER-ROW hot paths.
-    Equal to ROUND(x, s) for every x whose ``x*10^s`` is not exactly a
-    half-integer double (true for all real-valued math outputs — sqrt/ln/
-    products land on half-integers with probability zero), but:
-
-    - **fast**: stays in primitive double math inside whole-stage codegen,
-      while Spark's ROUND on a double allocates a ``BigDecimal.setScale``
-      per row (measured round 6: 4 renders over sf0.1 lineitem cost
-      ~0.7 s/pass as ROUND vs ~0.02 s as floor-form);
-    - **cross-engine stable**: both engines floor the SAME double, while
-      Spark's exact-BigDecimal ROUND vs DuckDB's float-math ROUND can
-      legally disagree by one ulp (the q65 drift class).
-
-    Not for money COLUMN values being compared/tied — those go through
+    Use this instead of ``F.round(col, scale)`` in PER-ROW hot paths:
+    equal to ROUND for non-half-tie values, but primitive-double codegen
+    instead of a per-row ``BigDecimal.setScale`` (round 6: 4 renders over
+    sf0.1 lineitem cost ~0.7 s/pass as ROUND vs ~0.02 s as floor form)
+    and ulp-stable cross-engine (the q65 drift class). Not for money
+    COLUMN values being compared/tied — those go through
     :func:`money_units`; this is output rendering only.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    p = 10**scale
-    return F.floor(c * p + F.lit(0.5)) / F.lit(float(p))
+    return round_half_up(col, scale)
 
 
 def fixed_render_sql(expr: str, scale: int = 4) -> str:
-    """Shared-dialect mirror of :func:`fixed_render` (same floor form;
-    decimal literals CAST to DOUBLE per the shared-dialect rule)."""
-    p = 10**scale
-    return (
-        f"floor(({expr}) * {p} + CAST(0.5 AS DOUBLE)) / CAST({p} AS DOUBLE)"
-    )
+    """Shared-dialect mirror of :func:`fixed_render`."""
+    return round_half_up_sql(expr, scale)

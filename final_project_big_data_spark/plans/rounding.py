@@ -48,6 +48,14 @@ def round_half_up(col: Column | str, scale: int = 4) -> Column:
 
 
 def round_half_up_sql(expr: str, scale: int = 4) -> str:
-    """DuckDB-side mirror of :func:`round_half_up` (same IEEE ops)."""
-    p = float(10**scale)
-    return f"floor(({expr}) * {p} + 0.5) / {p}"
+    """DuckDB-side mirror of :func:`round_half_up` (same IEEE ops).
+
+    Constants are ``CAST(n AS DOUBLE)`` rather than decimal-point
+    literals: Spark SQL types ``10000.0`` as DECIMAL, so the bare form
+    would silently change typing if the text ever runs through the SQL
+    entry point (the shared-dialect rule; value-identical on DuckDB).
+    """
+    p = 10**scale
+    return (
+        f"floor(({expr}) * {p} + CAST(0.5 AS DOUBLE)) / CAST({p} AS DOUBLE)"
+    )

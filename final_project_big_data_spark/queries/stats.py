@@ -59,26 +59,33 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     category="aggregate",
 )
 def q42(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``).
+    """Exact interpolated percentiles per group == DuckDB
+    ``quantile_cont``, via the distributed counting formulation
+    (``operators/quantiles.py``).
 
-    Scale note: exact percentile buffers each group's values — correct but
-    memory-bound per key; the 100 TB path is a02's sketch
-    (``percentile_approx``), declared separately.
+    Round 6: moved OFF Spark's built-in ``percentile`` — its object
+    aggregate buffers a per-group counts-map keyed by value, which the
+    1000× sweep showed GC-thrashing on value-rich columns (q56's
+    post-mortem). The counting form's memory is bounded by distinct
+    values per group at every stage; ``percentile_approx`` (a02) remains
+    the sketch path for genuinely continuous 100 TB columns.
     """
-    return (
-        load_table(spark, sf, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            *[
-                F.round(
-                    F.expr(f"percentile(o_totalprice, {q}D)"), 4
-                ).alias(name)
-                for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75")]
-            ]
-        )
-        .orderBy("o_orderpriority")
+    from final_project_big_data_spark.operators.quantiles import (
+        exact_quantile_cont,
     )
+
+    qdf = exact_quantile_cont(
+        load_table(spark, sf, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        {"p25_raw": 0.25, "p50_raw": 0.50, "p75_raw": 0.75},
+    )
+    return qdf.select(
+        "o_orderpriority",
+        F.round("p25_raw", 4).alias("p25"),
+        F.round("p50_raw", 4).alias("p50"),
+        F.round("p75_raw", 4).alias("p75"),
+    ).orderBy("o_orderpriority")
 
 
 @query(

@@ -13,7 +13,7 @@ a rows-only row for those). Exit code 1 if anything fails.
 
 Usage::
 
-    python -m tests.sweep_registry [sf_dir] [--max-rows=N] [name_prefix ...]
+    python -m tests.sweep_registry [sf_dir] [--max-rows=N] [--one-harness] [name_prefix ...]
 
 ``--max-rows=N`` bounds the FULL-DIFF work per entry for high-volume
 sweeps: entries whose result exceeds N rows are counted on both engines
@@ -33,11 +33,21 @@ import time
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--max-rows")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if not a.startswith("--max-rows") and a != "--one-harness"
+    ]
     max_rows = None
     for a in sys.argv[1:]:
         if a.startswith("--max-rows="):
             max_rows = int(a.split("=", 1)[1])
+    # --one-harness: run only the driver-mimic comparison (the
+    # verification driver's authoritative pandas canonicalization) and
+    # skip the redundant stringify harness — for high-volume sweeps where
+    # each harness is a full Spark re-execution of the query. The
+    # stringify harness still runs on every lower-volume sweep.
+    one_harness = "--one-harness" in sys.argv
     sf = args[0] if args else "/root/testdata/sf0.01"
     only = args[1:]
 
@@ -130,10 +140,14 @@ def main() -> int:
                         flush=True,
                     )
                 continue
-        rep1 = compare(df, con, spec.oracle)
-        rep2 = compare_driver_style(
-            spec.builder(spark, sf), con, spec.oracle
-        )
+        if one_harness:
+            rep1 = {"ok": True}
+            rep2 = compare_driver_style(df, con, spec.oracle)
+        else:
+            rep1 = compare(df, con, spec.oracle)
+            rep2 = compare_driver_style(
+                spec.builder(spark, sf), con, spec.oracle
+            )
         if rep1["ok"] and rep2["ok"]:
             print(f"ok   {name} ({time.time()-t1:.1f}s)", flush=True)
         else:
