@@ -162,17 +162,24 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     ``size(collect_set(x) OVER w)``; the oracle uses the equivalent
     aggregate-then-join rewrite.
 
-    Scale note (hardened round 5 after the 100× sweep hung here): the
-    window runs over the DEDUPLICATED (flag, suppkey) pairs, never the
-    raw fact. ``l_returnflag`` has 3 values, so a window over lineitem
-    funnels the whole table through 3 single-threaded, fully-buffered
-    window partitions — 60M rows at the 100× probe. The distinct-pairs
-    aggregate (one map-side-combinable shuffle, output bounded by
-    |flags|×|suppliers|) makes the window's partition width dimension-
-    bounded; the per-flag counts then broadcast-join back to the
-    filtered fact rows, with the row filter pushed to the scan. Same
-    surface, same results, no unbounded window partition. For
-    high-cardinality keys the HLL sketch (a01) remains the scale path.
+    Scale note (hardened round 5 after the 100× sweep hung here; the
+    remaining quadratic fixed round 6 after the 1000× sweep ground on
+    it): the window runs over the DEDUPLICATED (flag, suppkey) pairs,
+    never the raw fact — ``l_returnflag`` has 3 values, so a window
+    over lineitem funnels the whole table through 3 single-threaded
+    window partitions. Round 5 stopped there with
+    ``size(collect_set(x) OVER w)``, which bounded the partition WIDTH
+    but kept a second blowup: Spark's unbounded-frame window evaluates
+    the aggregate's result PER ROW, and collect_set's evaluation
+    materializes the whole set as a fresh array each time —
+    |supps|² element-copies per flag (10¹² at the 1000× probe's 1M
+    shifted suppliers; three tasks burned 20 CPU-minutes before being
+    killed). Over deduplicated pairs, ``count(*) OVER w`` is the SAME
+    number with an O(1)-per-row long evaluation — still a genuine
+    window-function surface, no per-row array. The per-flag counts then
+    broadcast-join back to the filtered fact rows, with the row filter
+    pushed to the scan. For high-cardinality keys the HLL sketch (a01)
+    remains the scale path.
     """
     li = load_table(spark, sf, "lineitem")
     w = W.partitionBy("l_returnflag")
@@ -181,9 +188,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .select(
             "l_returnflag",
-            F.size(F.collect_set("l_suppkey").over(w)).alias(
-                "distinct_supps"
-            ),
+            F.count(F.lit(1)).over(w).cast("int").alias("distinct_supps"),
         )
         .distinct()
     )
