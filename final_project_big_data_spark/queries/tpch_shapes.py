@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
 from final_project_big_data_spark.plans.money import (
+    fixed_render,
+    fixed_render_sql,
     money_from_units,
     money_from_units_sql,
     money_sum,
@@ -52,8 +54,8 @@ def _rev() -> F.Column:
 
 @query(
     "q86_tpch_q7_volume",
-    oracle="""
-    SELECT supp_nation, cust_nation, l_year, ROUND(sum(volume), 4) AS revenue
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {money_sum_sql('volume')} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -82,6 +84,13 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
     lineitem⋈orders is the only fact-fact shuffle; everything else is
     map-side. The disjunctive nation-pair predicate is evaluated on the
     already-joined dimension keys, not on the fact table.
+
+    Revenue takes the exact plans.money path: per-(nation-pair, year)
+    sums reach ~7e9 at the 1000× probe, where double accumulation-order
+    drift moved three groups' 4th decimal between engines (caught by the
+    round-6 1000× sweep; the 100× run had been green — the zone boundary
+    is volume-dependent, so any money sum whose group magnitude GROWS
+    with data volume is on the exact path as of round 6).
     """
     n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
     s = (
@@ -111,7 +120,7 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -185,8 +194,8 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q88_tpch_q9_profit",
-    oracle="""
-    SELECT nation, o_year, ROUND(sum(amount), 4) AS sum_profit
+    oracle=f"""
+    SELECT nation, o_year, {money_sum_sql('amount')} AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
@@ -214,6 +223,13 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
     min/max stat, but it prunes the broadcast build side to ~1/6 before
     the fact join; supplier⋈nation is broadcast; lineitem⋈orders is again
     the only shuffle pair.
+
+    The profit sum is exact (plans.money): per-(nation, year) amounts hit
+    ~2.6e10 at the 1000× probe and 150 of 175 groups drifted in the 4th
+    decimal under double sums (round-6 1000× sweep). The amount expression
+    itself stays in double — with integral quantities and 2-decimal
+    prices the true per-row value has exactly 4 decimals, so the
+    floor(x·10⁴+0.5) quantization is exact on both engines.
     """
     p = (
         load_table(spark, sf, "part")
@@ -234,7 +250,7 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .agg(money_sum(amount).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -295,13 +311,17 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q90_tpch_q11_important",
-    oracle="""
-    SELECT l_partkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS part_value
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING sum(l_extendedprice * (1 - l_discount)) > (
-      SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0012 FROM lineitem
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum({money_units_sql('l_extendedprice * (1 - l_discount)')})
+               AS pv_units
+      FROM lineitem GROUP BY l_partkey
     )
+    SELECT l_partkey, {money_from_units_sql('pv_units')} AS part_value
+    FROM pv
+    WHERE CAST(pv_units AS DOUBLE) > (
+      SELECT CAST(sum(pv_units) AS DOUBLE) * CAST(0.0012 AS DOUBLE) FROM pv)
     ORDER BY part_value DESC, l_partkey
     """,
     category="tpch",
@@ -311,22 +331,31 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     fixed fraction of GLOBAL revenue — a HAVING over a scalar subquery
     that aggregates the same fact table.
 
-    Decorrelated to two aggregates over one scan lineage: the global
-    total is a 1-row aggregate broadcast-cross-joined onto the per-part
-    aggregate, so the threshold comparison is map-side. At cluster scale
-    Spark reuses the shuffle (ReusedExchange) for both aggregates when
-    the plans align; either way the fact table is read at most twice and
-    shuffled once on the group key.
+    Decorrelated to ONE fact aggregation: per-part revenue accumulates as
+    exact BIGINT units (plans.money — the GLOBAL threshold sum crosses
+    the double-drift zone by 1000×, and the per-part sums themselves grow
+    with volume; under double sums a threshold wobble of ~1e-4 can flip
+    borderline parts between engines, a ROW-SET mismatch rather than a
+    rendering one). The global total then rolls up from the per-part
+    units — exact integer associativity makes that identical to summing
+    the fact rows directly, so the fact table is scanned and shuffled
+    exactly ONCE, with the 1-row threshold broadcast-cross-joined back
+    onto the per-part aggregate (map-side compare). The oracle mirrors
+    the same quantize→sum→rollup pipeline.
     """
     li = load_table(spark, sf, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("pv"))
-    total = li.agg((F.sum(_rev()) * F.lit(0.0012)).alias("threshold"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(money_units(_rev())).alias("pv_units")
+    )
+    total = per_part.agg(
+        (F.sum("pv_units").cast("double") * F.lit(0.0012)).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("pv") > F.col("threshold"))
+        .filter(F.col("pv_units").cast("double") > F.col("threshold"))
         .select(
             "l_partkey",
-            F.round("pv", 4).alias("part_value"),
+            money_from_units("pv_units").alias("part_value"),
         )
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
@@ -438,8 +467,11 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q93_tpch_q17_small_qty",
-    oracle="""
-    SELECT ROUND(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    oracle=f"""
+    SELECT {fixed_render_sql(
+        money_from_units_sql("sum(" + money_units_sql("l.l_extendedprice") + ")")
+        + " / CAST(7 AS DOUBLE)"
+    )} AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#3' AND p.p_size < 15
@@ -459,6 +491,15 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     the qualifying parts (a left-semi pre-filter on the part list keeps
     it from scanning unrelated parts), not just the filtered ones — a
     classic decorrelation trap the test locks down.
+
+    The revenue sum is a GLOBAL money accumulation that grows with data
+    volume, so it takes the exact plans.money path (round-6 1000×-sweep
+    policy); the /7 annualization divides the exact sum and renders via
+    the shared floor-form ``fixed_render`` on both engines. The half-avg
+    quantity filter stays on doubles deliberately: quantities are
+    integral, and integer-valued double sums are EXACT below 2^53
+    regardless of accumulation order, so the correlated-average
+    comparison cannot drift.
     """
     p = (
         load_table(spark, sf, "part")
@@ -474,7 +515,12 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li_q.join(avg_q, li_q.l_partkey == F.col("ap"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"))
+        .agg(
+            fixed_render(
+                money_from_units(F.sum(money_units(F.col("l_extendedprice"))))
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -513,9 +559,13 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     )
     # Q19's revenue is a SINGLE global sum — it crossed the ~5e10 money-
     # drift zone at the 100x sweep (7.3e10; 4th-decimal accumulation-
-    # order divergence), so it takes the plans.money exact path. The
-    # grouped TPC-H revenues (q86-q92) stay on double sums: their
-    # per-group magnitudes sit below the zone and are 100x-sweep-green.
+    # order divergence), so it takes the plans.money exact path. Round 6
+    # revised the policy for the grouped revenues: the 1000x sweep caught
+    # q86 (~7e9/group) and q88 (~2.6e10/group) drifting, so every money
+    # sum whose group magnitude GROWS with data volume is now exact
+    # (q86/q88/q90/q93 here). Double sums remain only where structurally
+    # safe: per-entity groups whose size is volume-invariant (q89's
+    # per-customer revenue) and ratios of co-drifting sums (q87/q91).
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(branch)
