@@ -339,7 +339,9 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     rendering one). The global total then rolls up from the per-part
     units — exact integer associativity makes that identical to summing
     the fact rows directly, so the fact table is scanned and shuffled
-    exactly ONCE, with the 1-row threshold broadcast-cross-joined back
+    exactly ONCE (verified: ReusedExchange on the per-part aggregate's
+    exchange, both with AQE on and off), with the 1-row threshold
+    broadcast-cross-joined back
     onto the per-part aggregate (map-side compare). The oracle mirrors
     the same quantize→sum→rollup pipeline.
     """
