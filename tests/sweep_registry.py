@@ -66,6 +66,13 @@ def main() -> int:
     # spill-prone (8 threads / 8 partitions against a 600M-row 1000x
     # fact). Same sizing rules as bench.py; correctness is config-
     # independent — that is the point of the sweep.
+    #
+    # Shuffle/spill COMPRESSION stays ON here, overriding get_spark's
+    # local-perf "false": sweeps are correctness runs, and at the 1000x
+    # volume a single fact-fact self-join (q95) spills >100 GiB
+    # UNCOMPRESSED into the tmpfs local dir — /dev/shm filled to 92%,
+    # the kernel OOM-killed the JVM, and the SIGKILL left the spill
+    # behind to starve every later session (round-6 incident).
     spark = get_spark(
         app_name="sweep",
         shuffle_partitions=sized_shuffle_partitions(sf),
@@ -76,6 +83,8 @@ def main() -> int:
             "spark.sql.adaptive.enabled": str(
                 sized_adaptive_enabled(sf)
             ).lower(),
+            "spark.shuffle.compress": "true",
+            "spark.shuffle.spill.compress": "true",
         },
     )
     con = duckdb_connect(sf)
