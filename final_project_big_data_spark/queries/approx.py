@@ -42,11 +42,23 @@ def a01(spark: SparkSession, sf: str) -> DataFrame:
     acceptance bit. rsd=0.01 → expected error ≪ 5% at any scale; the sketch
     aggregates in fixed memory per partition — the whole point at 100 TB,
     where exact COUNT(DISTINCT) needs a full shuffle of the key universe.
+
+    The two aggregates run as SEPARATE aggregations joined 1-row×1-row —
+    NEVER in one ``agg``. Round-6 scale fix (found by the guarded 1000×
+    sweep): mixing a distinct aggregate with a sketch aggregate makes
+    Catalyst's distinct-rewrite key the partial aggregation by the
+    distinct column, so every custkey group carries the sketch's buffer
+    (~21 KB at rsd=0.01) — ~10M groups × 21 KB OOMed the sweep in the
+    partial-agg stage. Split, the distinct path's buffers are empty and
+    the sketch path has ONE fixed buffer per task.
     """
-    df = load_table(spark, sf, "orders").agg(
-        F.countDistinct("o_custkey").alias("exact_ndv"),
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_ndv"),
+    o = load_table(spark, sf, "orders")
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_ndv"))
+    approx = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_ndv")
     )
+    # 1-row × 1-row broadcast nested-loop join (not a data cartesian)
+    df = exact.crossJoin(F.broadcast(approx))
     return df.select(
         "exact_ndv",
         (
@@ -189,9 +201,16 @@ def a05(spark: SparkSession, sf: str) -> DataFrame:
     global NDV itself is hash-matched against DuckDB.
     """
     o = load_table(spark, sf, "orders")
+    # sketch and exact NDV as SEPARATE aggregations joined on the (tiny)
+    # group key — same one-agg distinct-rewrite hazard as a01: combined,
+    # every (status, custkey) partial group would carry a 16 KB HLL buffer
     per_group = o.groupBy("o_orderstatus").agg(
         F.hll_sketch_agg("o_custkey", 14).alias("sk"),
-        F.countDistinct("o_custkey").alias("exact_g"),
+    ).join(
+        o.groupBy("o_orderstatus").agg(
+            F.countDistinct("o_custkey").alias("exact_g")
+        ),
+        "o_orderstatus",
     )
     groups_ok = per_group.select(
         (

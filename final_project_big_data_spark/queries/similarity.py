@@ -251,33 +251,53 @@ _MAX_NPROBE = 64
 _DIM = 64
 
 
+def _centroid_argmax(cents: DataFrame):
+    """(1-row centroid-array frame, per-row argmax column) for IVF
+    assignment — the n×k affinity relation NEVER exists as rows.
+
+    Round-6 scale fix (found by the guarded 1000× sweep): the previous
+    shape joined every vector with every broadcast centroid and re-grouped
+    by ``vec_id`` to take ``max(struct(aff, centroid_id))``, carrying the
+    64-dim vector through the join via ``first(v)``. A struct-max buffer is
+    not fixed-width, so Spark planned a SortAggregate — i.e. a SORT of the
+    n×k×~550 B affinity relation (≈1.5 TB at the 1000× probe volume; the
+    sweep OOMed there). This is the exact hazard the DuckDB oracle
+    (`_ivf_assign_sql`) already documents and avoids. The fix goes further
+    than the oracle's skinny-argmax: ``collect_list`` the ≤k centroids into
+    ONE broadcast row, then compute each vector's argmax IN the row with
+    ``array_max`` over a ``transform`` — no join rows, no shuffle, no agg,
+    map-only. ``array_max`` on struct(aff, centroid_id) is the same
+    lexicographic max as the oracle's ``max(struct_pack(...))``; the dots
+    are the same sequential fold — bit parity holds (checksummed against
+    the join+agg shape at 200k×1415 before adoption). The single collected
+    row is ≤k×~550 B (35 MB at the _MAX_CENTROIDS cap) — broadcast-safe.
+    """
+    carr = cents.agg(
+        F.collect_list(F.struct("centroid_id", "cv", "nc")).alias("_carr")
+    )
+    affs = F.transform(
+        F.col("_carr"),
+        lambda c: F.struct(
+            (_dot(F.col("v"), c["cv"]) / (F.col("nv") * c["nc"])).alias("aff"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
+    )
+    return carr, F.array_max(affs).getField("centroid_id")
+
+
 def _lloyd_refine(en: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd (k-means) pass, expressed lazily in DataFrame ops.
 
-    Assign every vector to its max-cosine centroid (broadcast join +
-    map-side-combinable argmax agg), then recompute each centroid as the
-    element-wise mean of its members — 64 ``avg`` aggregates in ONE hash
-    aggregate, no explode. Centroid ids are the init rows' vec_ids (dense
-    ids are never needed — it's only a join key). A centroid that loses
-    every member simply drops out.
+    Assign every vector to its max-cosine centroid (per-row argmax over
+    the broadcast centroid array — see ``_centroid_argmax``), then
+    recompute each centroid as the element-wise mean of its members — 64
+    ``avg`` aggregates in ONE hash aggregate, no explode. Centroid ids are
+    the init rows' vec_ids (dense ids are never needed — it's only a join
+    key). A centroid that loses every member simply drops out.
     """
-    assigned = (
-        en.join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            F.struct(
-                (_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias(
-                    "aff"
-                ),
-                F.col("centroid_id"),
-            ).alias("ac"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max("ac").getField("centroid_id").alias("centroid_id"),
-            F.first("v").alias("v"),
-        )
+    carr, best_cid = _centroid_argmax(cents)
+    assigned = en.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "v", best_cid.alias("centroid_id")
     )
     # means quantized to 8 decimals: the per-dim avg is the ONE floating
     # accumulation-order-dependent step, and quantizing it lets a second
@@ -406,12 +426,17 @@ def _s03_sql() -> str:
 def _ivf_assigned(spark: SparkSession, sf: str):
     """Trained-IVF assignment shared by s03 (ANN) and d10 (SemDeDup):
     seeded md5 init → one Lloyd pass (``_lloyd_refine``) → per-vector
-    argmax centroid. Returns (aff, assigned, kdf): ``aff`` keeps every
-    (vector, centroid) affinity struct for probe ranking; ``assigned`` is
-    the final (vec_id, v, nv, centroid_id); ``kdf`` is the 1-row
-    data-derived centroid-count frame (see the sizing comment at
-    ``_MIN_CENTROIDS``). Mirrors ``_ivf_assign_sql`` bit-for-bit
-    (8-decimal quantized centroid means, identical k derivation).
+    argmax centroid. Returns (en, cents, assigned, kdf): ``en`` is the
+    normed corpus (vec_id, v, nv) and ``cents`` the trained centroids —
+    s03 builds its probe-side affinity ranking from these (filtered to
+    the ≤``_N_QUERIES`` probe vectors, so the exploded affinity shape is
+    bounded there); ``assigned`` is the final (vec_id, v, nv,
+    centroid_id), computed by the map-only per-row argmax
+    (``_centroid_argmax`` — the n×k affinity relation never exists as
+    rows); ``kdf`` is the 1-row data-derived centroid-count frame (see
+    the sizing comment at ``_MIN_CENTROIDS``). Mirrors
+    ``_ivf_assign_sql`` bit-for-bit (8-decimal quantized centroid means,
+    identical k derivation).
 
     The k derivation stays LAZY (no builder-time job, pinned by
     tests/test_similarity.py): k comes from a 1-row count aggregate that
@@ -448,22 +473,12 @@ def _ivf_assigned(spark: SparkSession, sf: str):
         )
     )
     cents = _lloyd_refine(en, init)
-    # cosine affinity to every centroid; argmax per vector via max(struct)
-    aff = en.join(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "nv",
-        F.struct(
-            (_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("aff"),
-            F.col("centroid_id"),
-        ).alias("ac"),
+    # final per-vector centroid: map-only per-row argmax (no n×k rows)
+    carr, best_cid = _centroid_argmax(cents)
+    assigned = en.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "v", "nv", best_cid.alias("centroid_id")
     )
-    assigned = aff.groupBy("vec_id").agg(
-        F.max("ac").getField("centroid_id").alias("centroid_id"),
-        F.first("v").alias("v"),
-        F.first("nv").alias("nv"),
-    )
-    return aff, assigned, kdf
+    return en, cents, assigned, kdf
 
 
 @query("s03_ivf_ann_topk", oracle=_s03_sql(), category="similarity")
@@ -478,9 +493,9 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
     MLlib ``KMeans.fit`` would be eager — it runs jobs at build time —
     so the training is expressed as lazy DataFrame ops instead; a
     cluster deployment would persist the trained centers once and reuse
-    them across queries. Assignment is a broadcast nested-loop against
-    the k-row centroid table followed by an argmax aggregation keyed on
-    ``vec_id`` — one shuffle, map-side combinable. Candidates then come
+    them across queries. Assignment is a map-only per-row argmax over the
+    broadcast centroid array (``_centroid_argmax`` — zero shuffles, and
+    the n×k affinity relation never exists as rows). Candidates then come
     from an equi-join on ``centroid_id`` (nprobe = ⌈k/8⌉ on the query
     side, so the scanned fraction — and recall — holds as data grows up
     to the ``_MAX_NPROBE`` cap), and the corpus is never cross-joined:
@@ -491,7 +506,7 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
     (tests/test_similarity.py); rows-only driver check. No eager job runs
     at build time (pinned in tests/test_similarity.py).
     """
-    aff, assigned, kdf = _ivf_assigned(spark, sf)
+    en, cents, assigned, kdf = _ivf_assigned(spark, sf)
     npdf = kdf.select(
         F.greatest(
             F.lit(_MIN_NPROBE),
@@ -500,11 +515,21 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("np")
     )
-    # query side: top-nprobe centroids per probe vector
+    # query side: top-nprobe centroids per probe vector. The exploded
+    # (probe, centroid) affinity shape is fine HERE because the probe set
+    # is bounded at _N_QUERIES rows — ≤ _N_QUERIES×k affinities ever exist.
+    aff = en.filter(F.col("vec_id") < _N_QUERIES).join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nv",
+        F.struct(
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("aff"),
+            F.col("centroid_id"),
+        ).alias("ac"),
+    )
     wq = W.partitionBy("vec_id").orderBy(F.desc(F.col("ac.aff")), F.asc(F.col("ac.centroid_id")))
     probes = (
-        aff.filter(F.col("vec_id") < _N_QUERIES)
-        .withColumn("pr", F.row_number().over(wq))
+        aff.withColumn("pr", F.row_number().over(wq))
         .crossJoin(F.broadcast(npdf))
         .filter(F.col("pr") <= F.col("np"))
         .select(
@@ -651,7 +676,7 @@ def d10(spark: SparkSession, sf: str) -> DataFrame:
     choice (min id) makes the pass deterministic and idempotent —
     re-running on the deduped corpus drops nothing.
     """
-    _, assigned, _ = _ivf_assigned(spark, sf)
+    _, _, assigned, _ = _ivf_assigned(spark, sf)
     a = assigned.select(
         F.col("vec_id").alias("ka"),
         F.col("v").alias("va"),

@@ -194,6 +194,33 @@ def sized_max_partition_bytes(
     return max(floor, min(ceiling, biggest // max(cores, 1)))
 
 
+def sized_driver_memory(
+    sf_dir: str,
+    floor_gb: int = 8,
+    ceiling_gb: int = 64,
+    bytes_per_input_byte: int = 3,
+) -> str:
+    """Local-mode JVM heap (``spark.driver.memory``) sized to the dominant
+    input — the third sized_* rule, completing the round-6 "size the
+    session to its data volume" posture (partitions and scan splits were
+    sized in commit 32fd0c3; the heap was left at 8g and the 1000× sweep
+    OOMed on exactly the shapes 8g can't hold: a 600M-row sort-merge
+    semi-join's per-task sort buffers × 32 threads).
+
+    In local mode the driver JVM IS every executor, so the cluster rule of
+    thumb (executor memory ≈ a few × its data share) collapses to
+    heap ≈ ``bytes_per_input_byte`` × largest-table bytes, clamped to
+    [floor, ceiling]. 3× covers decompressed columns + shuffle/sort
+    buffers for the fact-vs-fact worst case while leaving the rest of RAM
+    to the OS page cache and tmpfs spill. Only callers that OWN the JVM
+    launch (sweeps, probes, bench) apply it — ``get_spark`` keeps the 8g
+    default because ``spark.driver.memory`` is inert after the JVM exists
+    (the verification driver's session is not ours to size).
+    """
+    gb = (_largest_table_bytes(sf_dir) * bytes_per_input_byte) >> 30
+    return f"{min(ceiling_gb, max(floor_gb, gb))}g"
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,

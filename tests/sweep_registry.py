@@ -55,6 +55,7 @@ def main() -> int:
     from final_project_big_data_spark.session import (
         get_spark,
         sized_adaptive_enabled,
+        sized_driver_memory,
         sized_max_partition_bytes,
         sized_shuffle_partitions,
     )
@@ -85,6 +86,10 @@ def main() -> int:
             ).lower(),
             "spark.shuffle.compress": "true",
             "spark.shuffle.spill.compress": "true",
+            # heap sized to volume too (round 6): 8g held 32 threads of
+            # 600M-row SMJ sort buffers only until q79; see
+            # session.sized_driver_memory
+            "spark.driver.memory": sized_driver_memory(sf),
         },
     )
     con = duckdb_connect(sf)

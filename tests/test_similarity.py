@@ -101,7 +101,7 @@ def test_ivf_knobs_identical_across_engines(spark, sf_dir, duck):
     want_k = min(_MAX_CENTROIDS, max(_MIN_CENTROIDS, math.ceil(math.sqrt(n))))
     want_np = max(_MIN_NPROBE, min(_MAX_NPROBE, math.ceil(want_k / 8)))
 
-    _, _, kdf = _ivf_assigned(spark, sf_dir)
+    _, _, _, kdf = _ivf_assigned(spark, sf_dir)
     got_k = kdf.collect()[0]["k"]
     assert got_k == want_k, f"spark k {got_k} != closed form {want_k}"
 
@@ -121,6 +121,6 @@ def test_ivf_knobs_identical_across_engines(spark, sf_dir, duck):
     assert sql_np == want_np, f"oracle nprobe {sql_np} != {want_np}"
 
     # the trained index really has (at most) k centroids, all used
-    _, assigned, _ = _ivf_assigned(spark, sf_dir)
+    _, _, assigned, _ = _ivf_assigned(spark, sf_dir)
     n_clusters = assigned.select("centroid_id").distinct().count()
     assert n_clusters <= want_k
