@@ -396,15 +396,31 @@ def _s03_sql() -> str:
     md5 init, the 8-decimal quantized per-dim means, and bit-exact dot
     products make every stage replayable; argmax tie-breaks mirror the
     Spark plan exactly (struct-max → aff DESC, centroid_id DESC; probe
-    ranking → aff DESC, centroid_id ASC)."""
+    ranking → aff DESC, centroid_id ASC).
+
+    The probe ranking reads its OWN probe-only affinity CTE (``aff_q``,
+    ≤ _N_QUERIES×k rows) instead of filtering ``aff2`` — round-6 scale
+    fix (found by the guarded 1000× sweep): a CTE referenced twice is
+    MATERIALIZED by DuckDB, and aff2 is the n×k affinity relation
+    (~2.8e9 rows ≈ 100 GB at the 1000× probe; the kernel OOM-killed the
+    sweep's python at 107 GB anon RSS). Referenced once, aff2 streams
+    through best2's hash argmax in fixed memory. Same affinity values on
+    the probe subset — same dots, same ranking — so the result is
+    unchanged. This mirrors the Spark side, where the probe ranking is
+    likewise built from the ≤_N_QUERIES filtered corpus."""
     return _ivf_assign_sql() + f""",
+    aff_q AS (
+      SELECT e.vec_id, e.v AS qv, e.nv AS nq, c.centroid_id,
+             list_dot_product(e.v, c.cv) / (e.nv * c.nc) AS aff
+      FROM en e CROSS JOIN cents c
+      WHERE e.vec_id < {_N_QUERIES}
+    ),
     probes AS (
       SELECT vec_id AS query_id, qv, nq, centroid_id AS probe_centroid
-      FROM (SELECT a.vec_id, e.v AS qv, e.nv AS nq, a.centroid_id,
-                   row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY a.aff DESC, a.centroid_id ASC) AS rn
-            FROM aff2 a JOIN en e ON a.vec_id = e.vec_id
-            WHERE a.vec_id < {_N_QUERIES})
+      FROM (SELECT vec_id, qv, nq, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY aff DESC, centroid_id ASC) AS rn
+            FROM aff_q)
       WHERE rn <= (SELECT greatest({_MIN_NPROBE}, least({_MAX_NPROBE},
                        CAST(ceil(k / 8.0) AS BIGINT))) FROM knob)
     ),

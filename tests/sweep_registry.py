@@ -93,6 +93,24 @@ def main() -> int:
         },
     )
     con = duckdb_connect(sf)
+    # Cap the oracle engine too (round 6): DuckDB defaults to 80% of RAM,
+    # which double-books memory already promised to the sweep JVM — at the
+    # 1000× probe the kernel OOM-killed the python process at 107 GB anon
+    # RSS while the (idle but resident) 38 GiB heap sat next to it. Give
+    # DuckDB what the JVM doesn't hold and a spill dir so exceeding the
+    # cap degrades to disk spill instead of a SIGKILL.
+    try:
+        import os as _os
+
+        _total_gb = _os.sysconf("SC_PAGE_SIZE") * _os.sysconf(
+            "SC_PHYS_PAGES"
+        ) >> 30
+        _heap_gb = int(sized_driver_memory(sf).rstrip("g"))
+        _duck_gb = max(8, int(_total_gb * 0.8) - _heap_gb)
+        con.execute(f"SET memory_limit='{_duck_gb}GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_sweep_spill'")
+    except Exception:
+        pass
     specs = all_specs()
     failures: dict[str, str] = {}
     skipped: dict[str, int] = {}
