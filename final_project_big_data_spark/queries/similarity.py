@@ -312,22 +312,41 @@ def _lloyd_refine(en: DataFrame, cents: DataFrame) -> DataFrame:
     ).withColumn("nc", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
 
 
+def _row_argmax_sql(carr: str) -> str:
+    """Per-row argmax centroid over a collected centroid list — the
+    DuckDB text twin of the Spark side's ``_centroid_argmax``:
+    ``list_aggregate(..., 'max')`` on struct(aff, centroid_id) is the
+    same lexicographic max as the old ``max(struct_pack(...))`` group
+    aggregate and Spark's ``array_max`` (ties → larger centroid_id);
+    the dots are the same ``list_dot_product``."""
+    return f"""struct_extract(list_aggregate(list_transform({carr}, x ->
+               struct_pack(aff := list_dot_product(e.v, x.cv)
+                             / (e.nv * x.nc),
+                           centroid_id := x.centroid_id)), 'max'),
+             'centroid_id')"""
+
+
 def _ivf_assign_sql() -> str:
     """DuckDB mirror of the trained-IVF assignment (init → one Lloyd pass
     → final per-vector centroid), shared by s03's ANN oracle and d10's
     SemDeDup oracle. Ends at CTE ``assigned2`` = (vec_id, v, nv,
     centroid_id).
 
-    Memory shape (round 5, found at the 100× sweep): the n×k affinity
-    relations carry ONLY (vec_id, centroid_id, aff) — with the 64-dim
-    vector inlined they reach n·k·~550 B (≈50 GB at the 100× probe,
-    DuckDB OOM); as 3 scalars they stream through the argmax. The argmax
-    itself is a max-over-struct hash aggregate (identical tie-break to
-    the window formulation: aff DESC, centroid_id DESC), not a window —
-    a row_number sort over the n×k affinity relation is the same
-    O(n·k log n·k) trap at scale, and it exactly mirrors the Spark
-    plan's ``max(struct(aff, centroid_id))`` argmax. Vectors are joined
-    back from ``en`` by vec_id afterwards."""
+    Memory shape, round-6 revision (found at the 1000× sweep, third
+    iteration of this lesson): the round-5 shape streamed the n×k
+    affinity relation as 3 scalars into a ``max(struct_pack(...))``
+    GROUP BY vec_id — but DuckDB's parallel grouped aggregation BUFFERS
+    ITS INPUT ROWS into radix partitions before aggregating (measured:
+    ~26 B/input-row regardless of the aggregate function, scalar max
+    identical to struct max), so ANY group-by over the n×k relation
+    costs ~26·n·k bytes — ~100 GB at the 1000× probe; the kernel
+    OOM-killed the sweep three times there, sailing past
+    ``memory_limit``. The fix mirrors the Spark plan's
+    ``_centroid_argmax``: collect the ≤k centroids into ONE list row
+    and compute each vector's argmax INSIDE the row
+    (``_row_argmax_sql``) — the n×k relation never exists, memory is
+    O(k) per row, and no group-by ever sees more than n rows. The
+    per-dim means then aggregate n rows (64 scalar avgs), not n×k."""
     return f"""
     WITH en AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -347,21 +366,15 @@ def _ivf_assign_sql() -> str:
             FROM en)
       WHERE rn <= (SELECT k FROM knob)
     ),
-    aff1 AS (
-      SELECT e.vec_id, c.centroid_id,
-             list_dot_product(e.v, c.cv) / (e.nv * c.nc) AS aff
-      FROM en e CROSS JOIN init c
-    ),
-    best1 AS (
-      SELECT vec_id,
-             struct_extract(max(struct_pack(aff := aff,
-                                            centroid_id := centroid_id)),
-                            'centroid_id') AS centroid_id
-      FROM aff1 GROUP BY vec_id
+    carr1 AS (
+      SELECT list(struct_pack(centroid_id := centroid_id, cv := cv,
+                              nc := nc) ORDER BY centroid_id) AS carr
+      FROM init
     ),
     assigned1 AS (
-      SELECT e.vec_id, e.v, b.centroid_id
-      FROM en e JOIN best1 b ON e.vec_id = b.vec_id
+      SELECT e.vec_id, e.v,
+             {_row_argmax_sql("c.carr")} AS centroid_id
+      FROM en e CROSS JOIN carr1 c
     ),
     means AS (
       SELECT centroid_id, list(m ORDER BY i) AS cv
@@ -373,21 +386,15 @@ def _ivf_assign_sql() -> str:
     cents AS (
       SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM means
     ),
-    aff2 AS (
-      SELECT e.vec_id, c.centroid_id,
-             list_dot_product(e.v, c.cv) / (e.nv * c.nc) AS aff
-      FROM en e CROSS JOIN cents c
-    ),
-    best2 AS (
-      SELECT vec_id,
-             struct_extract(max(struct_pack(aff := aff,
-                                            centroid_id := centroid_id)),
-                            'centroid_id') AS centroid_id
-      FROM aff2 GROUP BY vec_id
+    carr2 AS (
+      SELECT list(struct_pack(centroid_id := centroid_id, cv := cv,
+                              nc := nc) ORDER BY centroid_id) AS carr
+      FROM cents
     ),
     assigned2 AS (
-      SELECT e.vec_id, e.v, e.nv, b.centroid_id
-      FROM en e JOIN best2 b ON e.vec_id = b.vec_id
+      SELECT e.vec_id, e.v, e.nv,
+             {_row_argmax_sql("c.carr")} AS centroid_id
+      FROM en e CROSS JOIN carr2 c
     )"""
 
 
