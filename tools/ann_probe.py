@@ -128,7 +128,7 @@ def ivf_topk(spark, sf_dir, n_probes):
         _ivf_assigned,
     )
 
-    aff, assigned, kdf = _ivf_assigned(spark, sf_dir)
+    en, cents, assigned, kdf = _ivf_assigned(spark, sf_dir)
     npdf = kdf.select(
         F.greatest(
             F.lit(_MIN_NPROBE),
@@ -137,12 +137,24 @@ def ivf_topk(spark, sf_dir, n_probes):
         .cast("int")
         .alias("np")
     )
+    # probe-side affinity rebuilt like s03: the exploded (probe, centroid)
+    # shape is bounded at n_probes×k rows because the filter lands first
+    aff = en.filter(F.col("vec_id") < n_probes).join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nv",
+        F.struct(
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias(
+                "aff"
+            ),
+            F.col("centroid_id"),
+        ).alias("ac"),
+    )
     wq = W.partitionBy("vec_id").orderBy(
         F.desc(F.col("ac.aff")), F.asc(F.col("ac.centroid_id"))
     )
     probes = (
-        aff.filter(F.col("vec_id") < n_probes)
-        .withColumn("pr", F.row_number().over(wq))
+        aff.withColumn("pr", F.row_number().over(wq))
         .crossJoin(F.broadcast(npdf))
         .filter(F.col("pr") <= F.col("np"))
         .select(
