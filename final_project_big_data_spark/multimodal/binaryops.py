@@ -106,6 +106,9 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                 elif b[:2] == BMP_MAGIC:
                     try:
                         w, h, _stride, _off = _bmp_header(b)
+                        # top-down BMPs carry negative biHeight; report the
+                        # pixel height, mirroring decode_bmp's abs(height)
+                        h = abs(h)
                         c, fmt = 3, "bmp"
                     except ValueError:
                         w = h = c = 0

@@ -33,6 +33,18 @@ partitions hold (group, value, count) triples only. The approximate
 path for genuinely continuous 100 TB columns remains
 ``percentile_approx`` (C02/a02) — this operator is the exact path that
 the reference's test queries (q42, q56) require.
+
+GLOBAL-case bound (empty ``group_cols``): ``Window.partitionBy()`` with
+no keys puts every distinct value into ONE window partition on one
+task, so the bound degrades from "distinct values per group" to "ALL
+distinct values of the column, sorted and buffered on a single task".
+That is fine for the discrete/bounded-cardinality domains this operator
+is routed to (q42/q56: prices quantized to cents, discounts with 11
+distinct values) — a few million (value, count) longs per task — but a
+near-continuous column used globally re-creates the exact hazard this
+module was written to remove. The routing rule is therefore
+cardinality-based, not grouping-based: near-continuous domains go to
+``percentile_approx`` whether grouped or global.
 """
 
 from __future__ import annotations

@@ -185,6 +185,10 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     w = W.partitionBy("l_returnflag")
     counts = (
         li.select("l_returnflag", "l_suppkey")
+        # count(*) over deduplicated pairs must not count a NULL key —
+        # size(collect_set(x)) / COUNT(DISTINCT x) semantics exclude NULLs
+        # (TPC-H l_suppkey is non-null, but the operator shouldn't rely on it)
+        .filter(F.col("l_suppkey").isNotNull())
         .distinct()
         .select(
             "l_returnflag",

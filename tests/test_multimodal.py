@@ -213,3 +213,24 @@ def test_decode_bmp_rejects_unsupported_variants():
         B.decode_bmp(bytes(blob))
     with pytest.raises(ValueError):
         B.decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
+
+
+def test_topdown_bmp_metadata_height_positive(spark):
+    """Top-down BMPs (negative biHeight) report pixel height, not the raw
+    signed header value, in extract_metadata — mirroring decode_bmp."""
+    import struct
+
+    import pandas as pd
+
+    w, h = 5, 3
+    px = _bmp_pixels(w, h, 21)
+    blob = bytearray(B.encode_bmp(w, h, px))
+    struct.pack_into("<i", blob, 22, -h)  # flip biHeight → top-down
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "blob": [bytes(blob)]})
+    )
+    r = B.extract_metadata(media).collect()[0]
+    assert (r.fmt, r.width, r.height, r.channels) == ("bmp", w, h, 3)
+    # and the decoder still agrees on dimensions for the same blob
+    out = B.decode_bmp(bytes(blob))
+    assert (out["width"], out["height"]) == (w, h)
