@@ -140,9 +140,9 @@ def sized_adaptive_enabled(
     return _largest_table_bytes(sf_dir) >= cores * tasks_per_core * advisory_bytes
 
 
-def _largest_table_bytes(sf_dir: str) -> int:
-    """On-disk bytes of the largest ``*.parquet`` table (file or dir)."""
-    biggest = 0
+def _largest_table(sf_dir: str) -> tuple[int, str | None]:
+    """(bytes, path) of the largest ``*.parquet`` table (file or dir)."""
+    biggest, biggest_path = 0, None
     try:
         for name in os.listdir(sf_dir):
             if name.endswith(".parquet"):
@@ -155,10 +155,43 @@ def _largest_table_bytes(sf_dir: str) -> int:
                     if os.path.isdir(p)
                     else os.path.getsize(p)
                 )
-                biggest = max(biggest, size)
+                if size > biggest:
+                    biggest, biggest_path = size, p
     except OSError:
-        return 0
-    return biggest
+        return 0, None
+    return biggest, biggest_path
+
+
+def _largest_table_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the largest ``*.parquet`` table (file or dir)."""
+    return _largest_table(sf_dir)[0]
+
+
+def _row_group_count(path: str, cap: int) -> int:
+    """Number of parquet row groups in a table (file or dir of files),
+    counted from footers only; stops early at ``cap`` because callers only
+    ever compare against the core count. Unreadable → ``cap`` (assume
+    fully splittable, the pre-round-7 behavior)."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(f).num_row_groups
+            if total >= cap:
+                return cap
+        return max(1, total)
+    except Exception:  # noqa: BLE001 — footer unreadable / no pyarrow
+        return cap
 
 
 def sized_max_partition_bytes(
@@ -184,14 +217,38 @@ def sized_max_partition_bytes(
     five sort/agg-heavy headline queries 1.73 → 1.50 s, q01 -25%; ≥8 MiB
     is flat). Only sub-128 MiB inputs ever see the floor — probe volumes
     (10x and up) size to data/cores above it.
+
+    Row-group awareness (round 7): byte-range splits are only REAL below
+    the row-group count — parquet assigns every row group to the single
+    split containing its midpoint, so a one-row-group file "split" 3 ways
+    yields one loaded task and two empty ones. Worse than wasted
+    scheduling: empty splits break ``RangePartitioner``'s imbalance
+    check. Its resample guard fires when one input partition is expected
+    to contribute > ceil(3·sampleSize/numSplits) samples; with all rows
+    in 1 of k splits that is sampleSize > 3·sampleSize/k — GUARANTEED
+    for k ≥ 4 and an exact FP-boundary coin-flip at k = 3 (measured: the
+    sf0.1 session's parts=10 loses the flip on every 600k/150k-row
+    table, paying a serial ~0.1 s 1-task resample job per range
+    exchange; q06 0.57 → 0.45 s, q01/q33 −0.1 s each once removed).
+    The rule therefore sizes splits to ``min(cores, row_groups)`` units:
+    a one-row-group table gets ONE split (its real parallelism), a
+    many-row-group probe/cluster table keeps the data-per-core sizing.
+    Requires ``spark.sql.files.minPartitionNum=1`` (set by ``get_spark``
+    for local masters) — otherwise ``defaultParallelism`` re-derives
+    small splits through ``bytesPerCore`` no matter what this returns.
     """
     if cores is None:
         # sized to the ACTUAL host, not a hardcoded literal (ADVICE r4)
         cores = _local_cores()
-    biggest = _largest_table_bytes(sf_dir)
-    if biggest == 0:
+    biggest, path = _largest_table(sf_dir)
+    if biggest == 0 or path is None:
         return ceiling
-    return max(floor, min(ceiling, biggest // max(cores, 1)))
+    units = max(1, min(max(cores, 1), _row_group_count(path, max(cores, 1))))
+    if units == 1:
+        # one real row group: one split. +1 MiB so footer/padding bytes
+        # never tip a second (empty) split; still capped at the ceiling.
+        return min(ceiling, biggest + (1 << 20))
+    return max(floor, min(ceiling, biggest // units))
 
 
 def sized_driver_memory(
@@ -300,6 +357,16 @@ def get_spark(
         builder = (
             builder.config("spark.shuffle.compress", "false")
             .config("spark.shuffle.spill.compress", "false")
+            # let maxPartitionBytes OWN scan-split sizing: the default
+            # minPartitionNum (= defaultParallelism = cores) re-splits any
+            # file into ≥cores byte ranges even when the file has one row
+            # group, creating empty splits that both waste scheduling and
+            # trip RangePartitioner's resample guard (see
+            # sized_max_partition_bytes "Row-group awareness"). Only
+            # consequential when maxPartitionBytes ≥ file bytes — i.e.
+            # exactly when sized_* decided one split is the real
+            # parallelism. Local-only: cluster submitters keep defaults.
+            .config("spark.sql.files.minPartitionNum", "1")
             # Prefer shuffled-hash over sort-merge locally: with
             # data-sized shuffle partitions every build side fits task
             # memory, and skipping both sorts is a measured win (10x

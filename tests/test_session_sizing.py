@@ -89,3 +89,48 @@ def test_max_partition_bytes_missing_dir_keeps_cluster_default():
         sized_max_partition_bytes("/nonexistent/dir", cores=32)
         == 128 * 1024 * 1024
     )
+
+
+def _mk_real_parquet(d, name, n_rows, row_group_size):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = os.path.join(d, f"{name}.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(n_rows))}), p, row_group_size=row_group_size
+    )
+    return p
+
+
+def test_row_group_count_real_files(tmp_path):
+    from final_project_big_data_spark.session import _row_group_count
+
+    single = _mk_real_parquet(tmp_path, "single", 1000, 1000)
+    multi = _mk_real_parquet(tmp_path, "multi", 1000, 100)
+    assert _row_group_count(single, cap=32) == 1
+    assert _row_group_count(multi, cap=32) == 10
+    assert _row_group_count(multi, cap=4) == 4  # early-exit at cap
+    # unreadable → cap (fully-splittable fallback, the pre-r7 rule)
+    bogus = os.path.join(tmp_path, "bogus.parquet")
+    with open(bogus, "wb") as f:
+        f.write(b"\0" * 100)
+    assert _row_group_count(bogus, cap=32) == 32
+
+
+def test_max_partition_bytes_single_row_group_gets_one_split(tmp_path):
+    # a one-row-group table cannot split: byte-range splits beyond the
+    # row-group count schedule empty tasks AND trip RangePartitioner's
+    # resample guard (measured q06 0.57 -> 0.45 s; session.py docstring)
+    _mk_real_parquet(tmp_path, "t", 50_000, 1_000_000)
+    size = _largest_table_bytes(str(tmp_path))
+    got = sized_max_partition_bytes(str(tmp_path), cores=32)
+    assert got == size + (1 << 20)  # file bytes + margin -> ONE split
+
+
+def test_max_partition_bytes_row_groups_bound_split_count(tmp_path):
+    # 8 row groups on a 32-core host: splits sized to 8 real units, not
+    # 32 quarter-row-group byte ranges
+    _mk_real_parquet(tmp_path, "t", 80_000, 10_000)
+    size = _largest_table_bytes(str(tmp_path))
+    got = sized_max_partition_bytes(str(tmp_path), cores=32)
+    assert got == max(4 * 1024 * 1024, size // 8)
