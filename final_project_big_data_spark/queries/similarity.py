@@ -15,6 +15,8 @@ s02's bucketed join or the MinHash/LSH machinery in ``dedup``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -285,7 +287,128 @@ def _centroid_argmax(cents: DataFrame):
     return carr, F.array_max(affs).getField("centroid_id")
 
 
-def _lloyd_refine(en: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_kernel(sf: str) -> str:
+    """Pick the argmax-assign kernel from INPUT METADATA (no job, lazy-
+    safe): the NumPy kernel removes an O(n·k·dim) interpreted constant
+    but pays two fixed Python-worker/Arrow stage costs, so it loses at
+    tiny volume (sf0.1: 0.9 → 1.6 s) and wins from the 10× probe volume
+    up (100×: assign 22.2 → 2.0 s; tools/ivf_vec_probe.py). The switch
+    reads the embeddings table's on-disk bytes — same data-sized posture
+    as the session's sized_* rules. Unstat-able paths (hdfs://, s3:// —
+    i.e. cluster volumes) choose NumPy, the at-scale default.
+    ``SPARK_GRAFT_IVF_ASSIGN`` in {hof, np} overrides for A/B."""
+    forced = os.environ.get("SPARK_GRAFT_IVF_ASSIGN", "")
+    if forced in ("hof", "np"):
+        return forced
+    p = os.path.join(sf, "embeddings.parquet")
+    try:
+        size = (
+            sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+            if os.path.isdir(p)
+            else os.path.getsize(p)
+        )
+    except OSError:
+        return "np"
+    return "np" if size >= _NP_ASSIGN_MIN_BYTES else "hof"
+
+
+# measured crossover (tools/ivf_vec_probe.py + ab_query, round 7): the
+# NumPy kernel's fixed two-stage Python cost breaks even between the
+# sf0.1 corpus (0.8 MiB, HOF wins by ~0.7 s) and the 10× probe (8 MiB,
+# NumPy wins); 4 MiB splits the measured gap
+_NP_ASSIGN_MIN_BYTES = 4 * 1024 * 1024
+
+
+def _hof_assign(en: DataFrame, cents: DataFrame) -> DataFrame:
+    """The pre-round-7 interpreted shape: per-row ``array_max(transform)``
+    over the broadcast collected-centroid row (``_centroid_argmax``).
+    Kept as the small-input kernel — see ``_assign_kernel``."""
+    carr, best_cid = _centroid_argmax(cents)
+    return en.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "v", "nv", best_cid.alias("centroid_id")
+    )
+
+
+def _numpy_assign(en: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-vector argmax-centroid assignment, Arrow-batched (round 7).
+
+    Same semantics as ``_centroid_argmax`` (per-row argmax, ties → larger
+    centroid_id, affinity = fold-dot/(nv·nc)), but the n×k×dim multiply-
+    adds run as NumPy column sweeps instead of the JVM higher-order-
+    function interpreter. Measured (tools/ivf_vec_probe.py, 100× probe,
+    200k vectors × k=400): HOF 22.2 s → 2.0 s (11×) with ZERO assignment
+    diffs — the kernel accumulates dim-by-dim (``S += V[:,i:i+1] *
+    C[None,:,i]``), which reproduces the ``aggregate(zip_with(...))``
+    fold's left-to-right per-(row, centroid) summation order exactly, so
+    DuckDB-oracle bit parity is preserved by construction (a BLAS GEMM
+    variant is another 2.5× faster but has a different summation order —
+    kept probe-only).
+
+    Laziness is preserved — no driver-side centroid collect. The ≤k
+    centroid rows are replicated to each of P hash buckets of the corpus
+    (a k×P-row broadcast cross join — bytes, not a scale term) and meet
+    their bucket's vectors in a cogrouped ``applyInPandas``: one extra
+    hash shuffle of the corpus (~550 B/row — trivial next to the
+    interpreted-dot constant it removes) plus the Arrow crossing the
+    pandas path pays anyway. At the 1000× sweep volume this turns the
+    ~25–40 min assign stages of s03/d10 into minutes.
+    """
+    spark = en.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = en.withColumn(
+        "_b", F.pmod(F.hash("vec_id"), F.lit(n_buckets)).cast("int")
+    )
+    crep = cents.crossJoin(
+        F.broadcast(
+            spark.range(n_buckets).select(F.col("id").cast("int").alias("_b"))
+        )
+    )
+
+    def assign(vdf, cdf):
+        import numpy as np
+        import pandas as pd
+
+        if vdf.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "v": [], "nv": [], "centroid_id": []}
+            )
+        order = np.argsort(cdf["centroid_id"].to_numpy())
+        ids = cdf["centroid_id"].to_numpy()[order]
+        C = np.stack(cdf["cv"].to_numpy()[order])  # k × dim
+        nc = cdf["nc"].to_numpy()[order]
+        V = np.stack(vdf["v"].to_numpy())  # n × dim
+        S = np.zeros((V.shape[0], C.shape[0]))
+        for i in range(C.shape[1]):  # left fold over dims == HOF order
+            S += V[:, i : i + 1] * C[None, :, i]
+        aff = S / (vdf["nv"].to_numpy()[:, None] * nc[None, :])
+        # ties → larger centroid_id: ids ascend, take the LAST max index
+        idx = aff.shape[1] - 1 - np.argmax(aff[:, ::-1], axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": vdf["vec_id"],
+                "v": vdf["v"],
+                "nv": vdf["nv"],
+                "centroid_id": ids[idx],
+            }
+        )
+
+    return (
+        keyed.groupBy("_b")
+        .cogroup(crep.groupBy("_b"))
+        .applyInPandas(
+            assign,
+            schema="vec_id bigint, v array<double>, nv double, centroid_id bigint",
+        )
+    )
+
+
+def _lloyd_refine(
+    en: DataFrame, cents: DataFrame, kernel: str = "hof"
+) -> DataFrame:
     """One Lloyd (k-means) pass, expressed lazily in DataFrame ops.
 
     Assign every vector to its max-cosine centroid (per-row argmax over
@@ -295,10 +418,8 @@ def _lloyd_refine(en: DataFrame, cents: DataFrame) -> DataFrame:
     the init rows' vec_ids (dense ids are never needed — it's only a join
     key). A centroid that loses every member simply drops out.
     """
-    carr, best_cid = _centroid_argmax(cents)
-    assigned = en.crossJoin(F.broadcast(carr)).select(
-        "vec_id", "v", best_cid.alias("centroid_id")
-    )
+    assign = _numpy_assign if kernel == "np" else _hof_assign
+    assigned = assign(en, cents).select("vec_id", "v", "centroid_id")
     # means quantized to 8 decimals: the per-dim avg is the ONE floating
     # accumulation-order-dependent step, and quantizing it lets a second
     # engine (the DuckDB oracle) reproduce every downstream affinity,
@@ -454,9 +575,10 @@ def _ivf_assigned(spark: SparkSession, sf: str):
     s03 builds its probe-side affinity ranking from these (filtered to
     the ≤``_N_QUERIES`` probe vectors, so the exploded affinity shape is
     bounded there); ``assigned`` is the final (vec_id, v, nv,
-    centroid_id), computed by the map-only per-row argmax
-    (``_centroid_argmax`` — the n×k affinity relation never exists as
-    rows); ``kdf`` is the 1-row data-derived centroid-count frame (see
+    centroid_id), computed by the Arrow-batched per-row argmax
+    (``_numpy_assign`` — the n×k affinity relation never exists as rows,
+    and the dots run vectorized instead of in the HOF interpreter);
+    ``kdf`` is the 1-row data-derived centroid-count frame (see
     the sizing comment at ``_MIN_CENTROIDS``). Mirrors
     ``_ivf_assign_sql`` bit-for-bit (8-decimal quantized centroid means,
     identical k derivation).
@@ -495,12 +617,13 @@ def _ivf_assigned(spark: SparkSession, sf: str):
             F.col("nv").alias("nc"),
         )
     )
-    cents = _lloyd_refine(en, init)
-    # final per-vector centroid: map-only per-row argmax (no n×k rows)
-    carr, best_cid = _centroid_argmax(cents)
-    assigned = en.crossJoin(F.broadcast(carr)).select(
-        "vec_id", "v", "nv", best_cid.alias("centroid_id")
-    )
+    kernel = _assign_kernel(sf)
+    cents = _lloyd_refine(en, init, kernel)
+    # final per-vector argmax centroid: no n×k rows either way; the
+    # kernel (interpreted HOF vs Arrow/NumPy fold) is sized to the input
+    # — bit parity between the two measured at 200k×400 (0 diffs)
+    assign = _numpy_assign if kernel == "np" else _hof_assign
+    assigned = assign(en, cents)
     return en, cents, assigned, kdf
 
 

@@ -124,3 +124,45 @@ def test_ivf_knobs_identical_across_engines(spark, sf_dir, duck):
     _, _, assigned, _ = _ivf_assigned(spark, sf_dir)
     n_clusters = assigned.select("centroid_id").distinct().count()
     assert n_clusters <= want_k
+
+
+def test_assign_kernels_bit_parity(spark, sf_dir):
+    """The two IVF argmax-assign kernels (interpreted HOF vs Arrow/NumPy
+    dim-fold) must agree on EVERY assignment: the NumPy kernel
+    accumulates dim-by-dim, reproducing the aggregate(zip_with) fold's
+    left-to-right summation order exactly (also measured 0 diffs at
+    200k x 400 — tools/ivf_vec_probe.py)."""
+    from pyspark.sql import functions as F
+
+    from final_project_big_data_spark.queries.similarity import (
+        _hof_assign,
+        _ivf_assigned,
+        _numpy_assign,
+    )
+
+    en, cents, _, _ = _ivf_assigned(spark, sf_dir)
+    a = _hof_assign(en, cents).select("vec_id", "centroid_id")
+    b = _numpy_assign(en, cents).select("vec_id", "centroid_id")
+    diffs = (
+        a.alias("a")
+        .join(b.alias("b"), "vec_id", "full")
+        .filter(
+            (F.col("a.centroid_id") != F.col("b.centroid_id"))
+            | F.col("a.centroid_id").isNull()
+            | F.col("b.centroid_id").isNull()
+        )
+        .count()
+    )
+    assert diffs == 0
+
+
+def test_assign_kernel_sized_to_input(monkeypatch, sf_dir):
+    from final_project_big_data_spark.queries import similarity as S
+
+    # sf0.001/sf0.01 embeddings are far below the 4 MiB crossover
+    assert S._assign_kernel(sf_dir) == "hof"
+    # unstat-able (cluster) paths choose the at-scale kernel
+    assert S._assign_kernel("hdfs://nn/warehouse/tables") == "np"
+    # env override wins for A/B probes
+    monkeypatch.setenv("SPARK_GRAFT_IVF_ASSIGN", "np")
+    assert S._assign_kernel(sf_dir) == "np"
