@@ -373,8 +373,15 @@ def _numpy_assign(en: DataFrame, cents: DataFrame) -> DataFrame:
         import pandas as pd
 
         if vdf.empty:
+            # dtypes matter on the empty path: a bare [] column comes out
+            # float64 and Arrow refuses ndarray->list<double> for "v"
             return pd.DataFrame(
-                {"vec_id": [], "v": [], "nv": [], "centroid_id": []}
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="object"),
+                    "nv": pd.Series([], dtype="float64"),
+                    "centroid_id": pd.Series([], dtype="int64"),
+                }
             )
         order = np.argsort(cdf["centroid_id"].to_numpy())
         ids = cdf["centroid_id"].to_numpy()[order]
