@@ -352,9 +352,12 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     pre-aggregating is semantics-preserving: same groups, same sums, and
     the join input drops from every qualifying lineitem to one row per
     distinct qualifying orderkey (~4:1 at TPC-H fan-out). The pre-agg
-    shuffle moves partial aggregates (map-side combine), not raw rows.
-    Measured: 0.377 → 0.298 s at sf0.1; 10×/100× rows in SCALE.md's q14
-    study. No broadcast hint on customer: a 1/5-filtered customer is
+    shuffle moves partial aggregates (map-side combine), not raw rows —
+    MEASURED round 7 (tools/q14_bytes.py, SCALE.md): 2.9× fewer
+    fact-stage shuffle bytes at 100× (398 vs 1154 MB), ratio growing
+    with volume, at a ~25% local-wall cost (tmpfs shuffle ≈ free bytes)
+    that a network-shuffle cluster flips. Wall: 0.377 → 0.298 s at
+    sf0.1; 10×/100× rows in SCALE.md's q14 study. No broadcast hint on customer: a 1/5-filtered customer is
     broadcastable locally (the planner auto-hints it) but NOT at 100 TB —
     the shape must survive both regimes.
     """
