@@ -17,12 +17,17 @@ Usage::
 
 ``--max-rows=N`` bounds the FULL-DIFF work per entry for high-volume
 sweeps: entries whose result exceeds N rows are counted on both engines
-(counts must match) but not value-diffed, and are reported as a VISIBLE
-``skip`` line plus a summary list — never silently. Rationale: at the
-100× probe, identity-shaped scans return 60M rows and the value diff
-measures harness throughput (collect → pandas), not engine correctness;
-their value parity is already covered by the unbounded 10× sweep. Without
-the flag every entry is fully diffed (the sf0.01/sf0.1/10× posture).
+(counts must match) and then value-diffed on a DETERMINISTIC ~N-row
+sample (round 7, VERDICT r6 #4) instead of being skipped: an
+md5-prefix filter over the row's cross-engine-stable columns
+(int/bigint/string/date/boolean — types both engines render to
+identical strings) is applied to BOTH engines' results, so the same
+rows are selected on each side and the sample is value-diffed with the
+driver-mimic harness. Entries whose schema has NO stable column (e.g.
+all-double outputs, where float rendering differs between engines)
+fall back to the old visible count-only ``skip`` line — never
+silently. Without the flag every entry is fully diffed (the
+sf0.01/sf0.1/10× posture).
 """
 
 from __future__ import annotations
@@ -30,6 +35,49 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+#: result-schema types whose CAST(x AS STRING) renders identically on
+#: Spark and DuckDB — the sample filter may only hash these. Floats
+#: ("1.0E-7" vs "1e-07"), timestamps (session-zone sensitive), decimals,
+#: arrays and structs are excluded: the filter needs cross-engine
+#: determinism, not injectivity (hash collisions merely co-select rows).
+_STABLE_TYPES = ("byte", "short", "int", "integer", "bigint", "long",
+                 "string", "date", "boolean")
+
+
+def sample_predicates(df, fraction):
+    """Deterministic cross-engine row sampler (round 7, VERDICT r6 #4).
+
+    Returns ``(spark_pred_col, duckdb_pred_sql, stable_cols)`` selecting
+    ~``fraction`` of rows IDENTICALLY on both engines, or ``None`` if the
+    schema has no sample-stable column: rows pass when the first 8 hex
+    chars of ``md5(concat_ws('|', stable cols cast to string))`` fall
+    below the fraction's cut in [0, 16^8) — lexicographic comparison of
+    fixed-length lowercase hex equals numeric comparison, and both
+    engines skip NULLs in concat_ws and render the stable types to the
+    same strings (verified in tests/test_sweep_sample.py).
+    """
+    from pyspark.sql import functions as F
+
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in _STABLE_TYPES
+    ]
+    if not cols:
+        return None
+    cut = format(max(1, int(fraction * 16**8)), "08x")
+    spark_pred = (
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+            1,
+            8,
+        )
+        < F.lit(cut)
+    )
+    duck_cast = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols)
+    duck_pred = f"substr(md5(concat_ws('|', {duck_cast})), 1, 8) < '{cut}'"
+    return spark_pred, duck_pred, cols
 
 
 def main() -> int:
@@ -162,15 +210,39 @@ def main() -> int:
                         f"spark {n_spark} vs duckdb {n_duck}"
                     )
                     print(f"FAIL {name}: {failures[name]}", flush=True)
-                else:
+                    continue
+                preds = sample_predicates(df, max_rows / n_spark)
+                if preds is None:
                     skipped[name] = n_spark
                     print(
                         f"skip {name} (result {n_spark} rows > "
-                        f"--max-rows={max_rows}: counts match, value diff "
-                        f"deferred to the unbounded lower-volume sweep, "
+                        f"--max-rows={max_rows} and no sample-stable "
+                        f"column: counts match, value diff deferred to "
+                        f"the unbounded lower-volume sweep, "
                         f"{time.time()-t1:.1f}s)",
                         flush=True,
                     )
+                    continue
+                spark_pred, duck_pred, s_cols = preds
+                rep = compare_driver_style(
+                    spec.builder(spark, sf).filter(spark_pred),
+                    con,
+                    f"SELECT * FROM ({spec.oracle}) WHERE {duck_pred}",
+                )
+                if rep["ok"]:
+                    print(
+                        f"samp {name} (counts match at {n_spark} rows; "
+                        f"~{max_rows}-row deterministic sample on "
+                        f"{s_cols} value-diffed ok, "
+                        f"{time.time()-t1:.1f}s)",
+                        flush=True,
+                    )
+                else:
+                    failures[name] = (
+                        f"sampled value diff: {rep.get('error')} "
+                        f"{rep.get('first_diffs', '')}"
+                    )
+                    print(f"FAIL {name}: {failures[name]}", flush=True)
                 continue
         if one_harness:
             rep1 = {"ok": True}
