@@ -113,6 +113,13 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                     except ValueError:
                         w = h = c = 0
                         fmt = "unknown"
+                elif b[:8] == PNG_MAGIC:
+                    try:
+                        w, h, c = _png_header(b)
+                        fmt = "png"
+                    except ValueError:
+                        w = h = c = 0
+                        fmt = "unknown"
                 else:
                     w = h = c = 0
                     fmt = "unknown"
@@ -192,16 +199,348 @@ def decode_bmp(blob: bytes) -> dict:
     return {"width": width, "height": height, "mode": "RGB", "pixels": pixels}
 
 
+# ------------------------------------------------- vendored PNG codec (no PIL)
+#
+# PNG is signature + chunked (IHDR / IDAT* / IEND), IDAT is zlib — which is
+# stdlib — so 8-bit greyscale/RGB non-interlaced PNG decodes in pure Python:
+# inflate, then undo the per-scanline byte filters (None/Sub/Up/Average/
+# Paeth, the whole filter set of the spec). Exotic variants (palette,
+# 16-bit, interlaced) still hand off to PIL where it exists.
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(b: bytes):
+    if b[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("missing IEND")
+
+
+def _png_header(b: bytes) -> tuple[int, int, int]:
+    """Validate + parse the IHDR of a PNG this vendored decoder supports.
+
+    Returns (width, height, channels); raises ``ValueError`` for variants
+    outside 8-bit greyscale/RGB non-interlaced (palette, 16-bit, alpha,
+    interlace → PIL where it exists)."""
+    for ctype, data in _png_chunks(b):
+        if ctype != b"IHDR" or len(data) != 13:
+            raise ValueError("first chunk is not a valid IHDR")
+        w, h, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", data
+        )
+        if w <= 0 or h <= 0:
+            raise ValueError("bad PNG dimensions")
+        if (depth, comp, filt, interlace) != (8, 0, 0, 0) or color not in (0, 2):
+            raise ValueError(
+                "unsupported PNG variant (need 8-bit grey/RGB, no interlace)"
+            )
+        return w, h, 1 if color == 0 else 3
+    raise ValueError("empty PNG")
+
+
+def decode_png(blob: bytes) -> dict:
+    """Pure-Python decode of an 8-bit grey/RGB non-interlaced PNG — same
+    return shape as the PIL path of :func:`decode_image` (greyscale
+    pixels are ints, RGB pixels are tuples, exactly ``Image.getdata()``)."""
+    import zlib
+
+    b = bytes(blob)
+    width, height, ch = _png_header(b)
+    raw = zlib.decompress(
+        b"".join(d for t, d in _png_chunks(b) if t == b"IDAT")
+    )
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    prior = bytearray(stride)
+    flat = bytearray()
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + (a + prior[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prior[x - ch] if x >= ch else 0
+                p = a + prior[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prior[x]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prior[x] if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        flat.extend(line)
+        prior = line
+    if ch == 1:
+        pixels: list = list(flat)
+        mode = "L"
+    else:
+        pixels = [tuple(flat[i : i + 3]) for i in range(0, len(flat), 3)]
+        mode = "RGB"
+    return {"width": width, "height": height, "mode": mode, "pixels": pixels}
+
+
+def encode_png(width: int, height: int, pixels, mode: str = "RGB",
+               filter_type: int = 0) -> bytes:
+    """Write an 8-bit grey/RGB non-interlaced PNG (pure Python, stdlib
+    zlib). ``pixels`` is row-major top-down: ints for mode "L", RGB
+    tuples for mode "RGB". ``filter_type`` applies one spec filter
+    (0–4) to every scanline — the encoder's way of exercising every
+    decoder filter path with real files."""
+    import zlib
+
+    if mode not in ("L", "RGB"):
+        raise ValueError("mode must be L or RGB")
+    ch = 1 if mode == "L" else 3
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height entries")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    stride = width * ch
+    flat = bytearray()
+    for px in pixels:
+        flat.extend((px,) if ch == 1 else px)
+    raw = bytearray()
+    prior = bytearray(stride)
+    for y in range(height):
+        line = flat[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            bb = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if filter_type == 0:
+                v = line[x]
+            elif filter_type == 1:
+                v = line[x] - a
+            elif filter_type == 2:
+                v = line[x] - bb
+            elif filter_type == 3:
+                v = line[x] - (a + bb) // 2
+            else:
+                p = a + bb - c
+                pa, pb_, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if pa <= pb_ and pa <= pc else (bb if pb_ <= pc else c)
+                v = line[x] - pred
+            raw.append(v & 0xFF)
+        prior = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0 if ch == 1 else 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic REAL-PNG table: (media_id, blob). Greyscale pixels
+    are the md5-chain payload bytes (the mm02 chain), written through
+    :func:`encode_png` with ``filter_type = media_id % 5`` — the corpus
+    collectively exercises every scanline filter of the PNG spec, and
+    because decode must invert the filter + inflate exactly, a
+    feature-level oracle on the decoded pixels checks the real codec
+    end-to-end."""
+    from final_project_big_data_spark.session import ship_package
+
+    ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            blobs = []
+            for i in ids:
+                w, h = 8 + i % 5, 6 + i % 4
+                px = list(_payload(i, w * h))
+                blobs.append(encode_png(w, h, px, "L", filter_type=i % 5))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    base = spark.range(n).withColumnRenamed("id", "media_id").repartition(4)
+    return base.mapInPandas(gen, schema="media_id bigint, blob binary")
+
+
+# ------------------------------------------------ vendored WAV codec (stdlib)
+#
+# PCM WAV needs no third-party lib at all: the stdlib ``wave`` module
+# reads and writes RIFF/WAVE PCM containers. Round 7 makes the audio leg
+# of the multimodal surface live in-sandbox with real files — 16-bit PCM,
+# any rate/channel count.
+
+WAV_MAGIC = (b"RIFF", b"WAVE")  # bytes 0-3, bytes 8-11
+
+
+def is_wav(b: bytes) -> bool:
+    return len(b) >= 12 and b[:4] == WAV_MAGIC[0] and b[8:12] == WAV_MAGIC[1]
+
+
+def encode_wav(samples: list[int], sample_rate: int, channels: int) -> bytes:
+    """Write a real 16-bit PCM RIFF/WAVE file (stdlib ``wave``).
+
+    ``samples`` is channel-interleaved int16; ``len(samples)`` must be a
+    multiple of ``channels``."""
+    import io
+    import wave
+
+    if len(samples) % channels:
+        raise ValueError("samples must interleave to whole frames")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> dict:
+    """Real audio decode (stdlib ``wave``): params + int16 samples."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+        if w.getsampwidth() != 2:
+            raise ValueError("vendored WAV path is 16-bit PCM only")
+        return {
+            "sample_rate": w.getframerate(),
+            "channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "n_frames": n,
+            "samples": list(struct.unpack(f"<{n * w.getnchannels()}h", raw)),
+        }
+
+
+AUDIO_META_SCHEMA = (
+    "media_id bigint, fmt string, sample_rate int, channels int, "
+    "sample_width int, n_frames int, n_bytes long"
+)
+AUDIO_FEATURE_SCHEMA = "media_id bigint, mean_amplitude double, peak int"
+
+
+def synth_audio(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic REAL-WAV table: (media_id, blob), 16-bit PCM whose
+    samples are the md5-chain payload bytes read as little-endian int16 —
+    the same hex-domain chain mm02 uses, so a VARCHAR-md5 SQL engine can
+    regrow every sample and the audio surface stays value-oracle-checked
+    even though the blobs are genuine RIFF/WAVE files."""
+    from final_project_big_data_spark.session import ship_package
+
+    ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            blobs = []
+            for i in ids:
+                rate = 8000 + 4000 * (i % 3)
+                ch = 1 + i % 2
+                n_frames = 40 + (i % 7) * 8
+                payload = _payload(i, 2 * n_frames * ch)
+                samples = list(
+                    struct.unpack(f"<{n_frames * ch}h", payload)
+                )
+                blobs.append(encode_wav(samples, rate, ch))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    base = spark.range(n).withColumnRenamed("id", "media_id").repartition(4)
+    return base.mapInPandas(gen, schema="media_id bigint, blob binary")
+
+
+def extract_audio_metadata(media: DataFrame) -> DataFrame:
+    """Parse RIFF/WAVE params out of each blob (Arrow-batched) — the
+    audio analogue of :func:`extract_metadata`."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                if is_wav(b):
+                    try:
+                        d = decode_wav(b)
+                        rows.append(
+                            (mid, "wav", d["sample_rate"], d["channels"],
+                             d["sample_width"], d["n_frames"], len(b))
+                        )
+                        continue
+                    except Exception:
+                        pass
+                rows.append((mid, "unknown", 0, 0, 0, 0, len(b)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "sample_rate", "channels",
+                         "sample_width", "n_frames", "n_bytes"],
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        parse, schema=AUDIO_META_SCHEMA
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV → (mean amplitude, peak |sample|) per blob — a real
+    decode feeding per-batch Python arithmetic, Arrow in and out."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                s = decode_wav(bytes(blob))["samples"]
+                n = len(s) or 1
+                rows.append(
+                    (mid, sum(s) / n, max((abs(v) for v in s), default=0))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mean_amplitude", "peak"]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        feats, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def decode_image(blob: bytes) -> dict:
     """Real image decode.
 
-    Uncompressed 24-bit BMP decodes in-sandbox via the vendored
-    pure-Python parser (round 6 — the live branch of this seam no longer
-    needs PIL); every other format requires PIL (a full cluster image),
-    and raises ``NotImplementedError`` here. The Spark-side plumbing
-    (batching, schema, partitioning) is identical whichever decoder runs
-    — tests/test_multimodal.py executes the BMP path unconditionally and
-    the PIL path wherever PIL imports.
+    Uncompressed 24-bit BMP (round 6) and 8-bit grey/RGB non-interlaced
+    PNG (round 7) decode in-sandbox via the vendored pure-Python parsers
+    — the live branches of this seam need no PIL; every other format
+    requires PIL (a full cluster image), and raises
+    ``NotImplementedError`` here. The Spark-side plumbing (batching,
+    schema, partitioning) is identical whichever decoder runs —
+    tests/test_multimodal.py executes the BMP/PNG paths unconditionally
+    and the PIL path wherever PIL imports.
     """
     b = bytes(blob)
     if b[:2] == BMP_MAGIC:
@@ -209,12 +548,17 @@ def decode_image(blob: bytes) -> dict:
             return decode_bmp(b)
         except ValueError:
             pass  # unsupported BMP variant → PIL below
+    if b[:8] == PNG_MAGIC:
+        try:
+            return decode_png(b)
+        except ValueError:
+            pass  # unsupported PNG variant → PIL below
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "non-BMP image decode requires PIL; use fake_decode for the "
-            "deterministic test path"
+            "image decode beyond vendored BMP/PNG requires PIL; use "
+            "fake_decode for the deterministic test path"
         ) from exc
     import io
 
@@ -233,13 +577,18 @@ def fake_decode(blob: bytes) -> list[int]:
 
 
 def decode_intensities(blob: bytes) -> list[int]:
-    """Dispatch decode → flat per-channel intensities (the mm02 feature
-    input): FAKE blobs yield their payload bytes (unchanged — the
-    md5-chain oracle depends on it), BMP blobs yield the decoded RGB
-    bytes flattened row-major — the LIVE branch, pure Python."""
+    """Dispatch decode → flat per-channel intensities (the mm02/mm06
+    feature input): FAKE blobs yield their payload bytes (unchanged —
+    the md5-chain oracle depends on it), BMP/PNG blobs yield the decoded
+    pixel bytes flattened row-major — the LIVE branches, pure Python."""
     b = bytes(blob)
     if b[:2] == BMP_MAGIC:
         return [v for px in decode_bmp(b)["pixels"] for v in px]
+    if b[:8] == PNG_MAGIC:
+        out = decode_png(b)
+        if out["mode"] == "L":
+            return list(out["pixels"])
+        return [v for px in out["pixels"] for v in px]
     return fake_decode(b)
 
 

@@ -19,10 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.multimodal.binaryops import (
+    extract_audio_features,
+    extract_audio_metadata,
     extract_features,
     extract_metadata,
     sample_frames,
+    synth_audio,
     synth_media,
+    synth_png_media,
 )
 from final_project_big_data_spark.queries import query
 
@@ -132,4 +136,146 @@ def mm03(spark: SparkSession, sf: str) -> DataFrame:
         sample_frames(media, frame_bytes=16, every=2)
         .select("media_id", "frame_no", "frame_len")
         .orderBy("media_id", "frame_no")
+    )
+
+
+# --------------------------------------------- round 7: live WAV + PNG codecs
+#
+# mm04/mm05 run REAL RIFF/WAVE files (stdlib `wave` writes/reads them;
+# samples are the mm02 md5 chain read as little-endian int16), mm06 runs
+# REAL PNG files (vendored zlib codec, filter_type = id % 5 so the corpus
+# exercises every scanline filter). All three are value-oracle-checked:
+# DuckDB regrows the byte chain and recomputes the decoded numbers.
+
+
+@query(
+    "mm04_audio_metadata",
+    oracle=f"""
+    SELECT CAST(range AS BIGINT) AS media_id,
+           'wav' AS fmt,
+           CAST(8000 + 4000 * (range % 3) AS INT) AS sample_rate,
+           CAST(1 + range % 2 AS INT) AS channels,
+           CAST(2 AS INT) AS sample_width,
+           CAST(40 + (range % 7) * 8 AS INT) AS n_frames,
+           CAST(44 + 2 * (40 + (range % 7) * 8) * (1 + range % 2)
+                AS BIGINT) AS n_bytes
+    FROM range({N_MEDIA}) ORDER BY media_id
+    """,
+    category="multimodal",
+)
+def mm04(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV decode (stdlib wave) over distributed blobs == arithmetic
+    oracle: rate/channels/frames are id-derived, the 44-byte canonical
+    PCM header is pinned by construction (and by test_multimodal)."""
+    media = synth_audio(spark, n=N_MEDIA)
+    return extract_audio_metadata(media).orderBy("media_id")
+
+
+# Audio payload regrowth: n = 2 * n_frames * channels bytes per id, then
+# little-endian int16 assembly — sample_j = b[2j] + 256*b[2j+1], wrapped
+# to signed. Same hex-domain chain as mm02's _PAYLOAD_BYTES_SQL, different
+# size arithmetic, so it is restated here with the audio n.
+_AUDIO_BYTES_SQL = f"""
+    WITH RECURSIVE m AS (
+      SELECT range AS media_id,
+             2 * (40 + (range % 7) * 8) * (1 + range % 2) AS n
+      FROM range({N_MEDIA})
+    ),
+    blocks AS (
+      SELECT media_id, 0 AS i, md5(CAST(media_id AS VARCHAR)) AS h, n FROM m
+      UNION ALL
+      SELECT media_id, i + 1, md5(h), n FROM blocks WHERE (i + 1) * 16 < n
+    ),
+    bytes AS (
+      SELECT media_id, i * 16 + j AS pos,
+             (strpos('0123456789abcdef', substr(h, 2 * j + 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(h, 2 * j + 2, 1)) - 1 AS v,
+             n
+      FROM blocks, UNNEST(range(16)) AS u(j)
+      WHERE i * 16 + j < n
+    ),
+    samples AS (
+      SELECT lo.media_id,
+             lo.v + 256 * hi.v
+             - CASE WHEN hi.v >= 128 THEN 65536 ELSE 0 END AS s
+      FROM bytes lo JOIN bytes hi
+        ON lo.media_id = hi.media_id AND hi.pos = lo.pos + 1
+      WHERE lo.pos % 2 = 0
+    )
+"""
+
+
+@query(
+    "mm05_audio_features",
+    oracle=_AUDIO_BYTES_SQL
+    + """
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           ROUND(AVG(CAST(s AS DOUBLE)), 4) AS mean_amplitude,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM samples GROUP BY media_id ORDER BY media_id
+    """,
+    category="multimodal",
+)
+def mm05(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV decode → per-blob mean amplitude / peak == DuckDB's
+    int16 reassembly of the regrown byte chain."""
+    media = synth_audio(spark, n=N_MEDIA)
+    return (
+        extract_audio_features(media)
+        .select(
+            "media_id",
+            F.round("mean_amplitude", 4).alias("mean_amplitude"),
+            "peak",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm06_png_roundtrip_features",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+      SELECT range AS media_id,
+             (8 + range % 5) * (6 + range % 4) AS n
+      FROM range({N_MEDIA})
+    ),
+    blocks AS (
+      SELECT media_id, 0 AS i, md5(CAST(media_id AS VARCHAR)) AS h, n FROM m
+      UNION ALL
+      SELECT media_id, i + 1, md5(h), n FROM blocks WHERE (i + 1) * 16 < n
+    ),
+    bytes AS (
+      SELECT media_id, i * 16 + j AS pos,
+             (strpos('0123456789abcdef', substr(h, 2 * j + 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(h, 2 * j + 2, 1)) - 1 AS v,
+             n
+      FROM blocks, UNNEST(range(16)) AS u(j)
+      WHERE i * 16 + j < n
+    ),
+    counts AS (
+      SELECT media_id, v, count(*) AS c, any_value(n) AS n
+      FROM bytes GROUP BY media_id, v
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           ROUND(SUM(v * c) / CAST(n AS DOUBLE), 4) AS mean_intensity,
+           ROUND(-SUM((c / CAST(n AS DOUBLE))
+                      * log2(c / CAST(n AS DOUBLE))), 4) AS byte_entropy
+    FROM counts GROUP BY media_id, n ORDER BY media_id
+    """,
+    category="multimodal",
+)
+def mm06(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PNG encode→decode in the middle of the mm02 arithmetic: the
+    greyscale pixels ARE the payload bytes, so the oracle's mean/entropy
+    only match if the vendored zlib codec round-trips every scanline
+    filter (filter_type = media_id % 5) bit-exactly."""
+    media = synth_png_media(spark, n=N_MEDIA)
+    return (
+        extract_features(media)
+        .select(
+            "media_id",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+            F.round("byte_entropy", 4).alias("byte_entropy"),
+        )
+        .orderBy("media_id")
     )

@@ -110,7 +110,9 @@ def test_binary_file_ingestion(spark, media, tmp_path):
 
 @pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
 @pytest.mark.parametrize("name", ["mm01_media_metadata", "mm02_media_features",
-                                  "mm03_frame_sampling"])
+                                  "mm03_frame_sampling", "mm04_audio_metadata",
+                                  "mm05_audio_features",
+                                  "mm06_png_roundtrip_features"])
 def test_mm_oracle_all_sfs(spark, name, sf):
     """VERDICT r2 ask #7: mm01–mm03 oracle-verified locally at every scale
     factor BEFORE the driver re-reaches them (they were rows-only in r01;
@@ -234,3 +236,140 @@ def test_topdown_bmp_metadata_height_positive(spark):
     # and the decoder still agrees on dimensions for the same blob
     out = B.decode_bmp(bytes(blob))
     assert (out["width"], out["height"]) == (w, h)
+
+
+# ----------------------------------- vendored PNG codec + stdlib WAV (round 7)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Every scanline filter of the spec (0-4), both modes, pure Python."""
+    rgb = [((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 11) % 256)
+           for y in range(5) for x in range(4)]
+    grey = [(x * 31 + y * 7) % 256 for y in range(3) for x in range(6)]
+    for ft in range(5):
+        out = B.decode_png(B.encode_png(4, 5, rgb, "RGB", filter_type=ft))
+        assert (out["width"], out["height"], out["mode"]) == (4, 5, "RGB")
+        assert out["pixels"] == rgb, f"RGB filter {ft}"
+        out = B.decode_png(B.encode_png(6, 3, grey, "L", filter_type=ft))
+        assert out["mode"] == "L" and out["pixels"] == grey, f"L filter {ft}"
+
+
+def test_decode_image_png_live_no_pil():
+    """decode_image handles a real PNG without PIL, no skip."""
+    grey = list(range(24))
+    out = B.decode_image(B.encode_png(6, 4, grey, "L", filter_type=2))
+    assert (out["width"], out["height"], out["mode"]) == (6, 4, "L")
+    assert out["pixels"] == grey
+
+
+def test_png_decoder_rejects_unsupported_variants():
+    with pytest.raises(ValueError):
+        B.decode_png(b"\x89PNG\r\n\x1a\nxxxx")  # mangled chunks
+    # 16-bit depth IHDR
+    import struct as S
+    import zlib
+
+    def chunk(t, d):
+        return S.pack(">I", len(d)) + t + d + S.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    bad = (B.PNG_MAGIC
+           + chunk(b"IHDR", S.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        B.decode_png(bad)
+    # and the seam falls back cleanly: unsupported variant + no PIL ->
+    # NotImplementedError (not a crash) wherever PIL is missing
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            B.decode_image(bad)
+
+
+def test_pil_cross_validates_vendored_png():
+    """Wherever PIL exists: PIL must decode encode_png's output to the
+    same pixels, and decode_png must decode PIL-written PNGs — the
+    vendored codec is spec-compatible, not merely self-inverse."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    grey = [(x * 31 + y * 7) % 256 for y in range(5) for x in range(7)]
+    img = Image.open(io.BytesIO(B.encode_png(7, 5, grey, "L", filter_type=4)))
+    assert list(img.getdata()) == grey
+    ours = Image.new("L", (4, 3))
+    ours.putdata(list(range(12)))
+    buf = io.BytesIO()
+    ours.save(buf, "PNG")
+    assert B.decode_png(buf.getvalue())["pixels"] == list(range(12))
+
+
+def test_wav_codec_roundtrip():
+    samples = [0, 100, -100, 32767, -32768, 5]
+    blob = B.encode_wav(samples, 16000, 2)
+    assert B.is_wav(blob)
+    d = B.decode_wav(blob)
+    assert d == {"sample_rate": 16000, "channels": 2, "sample_width": 2,
+                 "n_frames": 3, "samples": samples}
+    assert len(blob) == 44 + 2 * len(samples)  # canonical PCM header
+
+
+def test_audio_metadata_and_features_live(spark):
+    """REAL RIFF/WAVE files through the distributed Arrow path: stdlib
+    wave decodes what stdlib wave wrote, params and samples id-derived."""
+    audio = B.synth_audio(spark, n=12).cache()
+    try:
+        meta = {r.media_id: r for r in
+                B.extract_audio_metadata(audio).collect()}
+        assert len(meta) == 12
+        for i in (0, 5, 11):
+            r = meta[i]
+            assert (r.fmt, r.sample_rate, r.channels, r.n_frames) == (
+                "wav", 8000 + 4000 * (i % 3), 1 + i % 2, 40 + (i % 7) * 8
+            )
+        feats = {r.media_id: r for r in
+                 B.extract_audio_features(audio).collect()}
+        import struct as S
+
+        for i in (3, 7):
+            ch, nf = 1 + i % 2, 40 + (i % 7) * 8
+            s = list(S.unpack(f"<{nf * ch}h", B._payload(i, 2 * nf * ch)))
+            assert feats[i].peak == max(abs(v) for v in s)
+            assert abs(feats[i].mean_amplitude - sum(s) / len(s)) < 1e-9
+    finally:
+        audio.unpersist()
+
+
+def test_audio_metadata_handles_garbage(spark):
+    import pandas as pd
+
+    garbage = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "blob": [b"RIFFxxxxWAVE"]})
+    )
+    r = B.extract_audio_metadata(garbage).collect()[0]
+    assert r.fmt == "unknown" and r.sample_rate == 0
+
+
+def test_png_media_through_binaryfile_source(spark, tmp_path):
+    """Round-trip real PNG files through the binaryFile source and the
+    metadata/feature operators — the full ingestion path, no PIL."""
+    grey = list(range(48))
+    p = tmp_path / "img7.png"
+    p.write_bytes(B.encode_png(8, 6, grey, "L", filter_type=3))
+    df = (
+        B.ingest_binary_files(spark, str(tmp_path))
+        .select(
+            F.regexp_extract("path", r"img(\d+)\.png", 1)
+            .cast("bigint").alias("media_id"),
+            F.col("content").alias("blob"),
+        )
+    )
+    meta = B.extract_metadata(df).collect()[0]
+    assert (meta.fmt, meta.width, meta.height, meta.channels) == (
+        "png", 8, 6, 1
+    )
+    feat = B.extract_features(df).collect()[0]
+    assert abs(feat.mean_intensity - sum(grey) / 48) < 1e-9
