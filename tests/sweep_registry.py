@@ -81,6 +81,16 @@ def sample_predicates(df, fraction):
 
 
 def main() -> int:
+    # Spill to DISK, not tmpfs (round 7): the session factory's tmpfs
+    # local dir is a bench-speed choice, but tmpfs pages COUNT AS RAM —
+    # a 1000× sweep's ~45 GB shuffle spill sat beside the 38 GiB JVM
+    # heap and the DuckDB budget and the kernel global-OOM-killed the
+    # JVM at entry 153/168 (q90). Correctness sweeps are not timed, so
+    # they take the disk path unconditionally. Must be the ENV VAR:
+    # SPARK_LOCAL_DIRS overrides any spark.local.dir conf.
+    import os as _os
+
+    _os.environ["SPARK_LOCAL_DIRS"] = "/tmp/spark_sweep_local"
     args = [
         a
         for a in sys.argv[1:]
@@ -154,7 +164,13 @@ def main() -> int:
             "SC_PHYS_PAGES"
         ) >> 30
         _heap_gb = int(sized_driver_memory(sf).rstrip("g"))
-        _duck_gb = max(8, int(_total_gb * 0.8) - _heap_gb)
+        # JVM RSS exceeds -Xmx (metaspace, code cache, Arrow/netty
+        # off-heap, Python workers): a 38g-heap sweep JVM measured
+        # ~46 GB anon. Budget ~10 GB of overhead on top of the heap, or
+        # the kernel global-OOM-kills whichever process allocates last
+        # (round 7: python at 44 GB during q96's oracle, java during
+        # q90 — both with the "80% − heap" budget).
+        _duck_gb = max(8, int(_total_gb * 0.8) - _heap_gb - 10)
         con.execute(f"SET memory_limit='{_duck_gb}GB'")
         con.execute("SET temp_directory='/tmp/duckdb_sweep_spill'")
     except Exception:
