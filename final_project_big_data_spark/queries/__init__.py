@@ -45,6 +45,7 @@ def all_specs() -> dict[str, QuerySpec]:
         curation,
         dedup,
         extras,
+        layout,
         mlq,
         mmq,
         relational,

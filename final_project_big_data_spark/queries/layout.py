@@ -1,0 +1,242 @@
+"""Data-layout & maintenance operators for the 100 TB design point:
+Z-order clustering (multi-dimensional data skipping), incremental
+aggregate maintenance (mergeable partial states), and runtime min/max
+join reduction (the dynamic-filter analogue for non-partition keys).
+
+The reference has no layout management at all (SURVEY §2.1 — its
+prepare step writes one unpartitioned parquet,
+``tasks/scripts/prepare_data.py:31-34``); these operators are part of
+the generalized at-scale contract: a 100 TB table is only as fast as
+the bytes its scans can SKIP, and a 100 TB aggregate is only
+maintainable if yesterday's result merges with today's delta instead
+of rescanning the base.
+
+Same Tier-A conventions as ``extras.py``: total ORDER BY with unique
+tiebreak, ROUND(·,4) on floating aggregates, identical column names on
+both sides of every oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.queries import query
+
+_Z_BITS = 16  # bits interleaved per dimension (32-bit z-values)
+_Z_BUCKET_SHIFT = 16  # one "file" per 2^16 z-cells
+
+
+def zvalue(x: Column, y: Column, bits: int = _Z_BITS) -> Column:
+    """Morton/Z-order interleave of the low ``bits`` bits of two
+    non-negative integer columns: bit i of x lands at position 2i, bit i
+    of y at 2i+1. Pure JVM bit arithmetic — whole-stage codegen'd, no
+    shuffle, no UDF. Keys wider than ``bits`` bits wrap (masked), which
+    degrades clustering quality but never correctness.
+    """
+    xm = x.bitwiseAND(F.lit((1 << bits) - 1)).cast("long")
+    ym = y.bitwiseAND(F.lit((1 << bits) - 1)).cast("long")
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def _zvalue_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
+    """The same interleave as :func:`zvalue`, unrolled to DuckDB bit
+    operators — the oracle computes z-values independently."""
+    xm = f"(CAST({x} AS BIGINT) & {(1 << bits) - 1})"
+    ym = f"(CAST({y} AS BIGINT) & {(1 << bits) - 1})"
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({xm} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({ym} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(parts) + ")"
+
+
+@query(
+    "q104_zorder_layout",
+    oracle=f"""
+    SELECT CAST({_zvalue_sql('l_partkey', 'l_suppkey')} >> {_Z_BUCKET_SHIFT}
+                AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(l_partkey) AS BIGINT) AS pk_min,
+           CAST(max(l_partkey) AS BIGINT) AS pk_max,
+           CAST(min(l_suppkey) AS BIGINT) AS sk_min,
+           CAST(max(l_suppkey) AS BIGINT) AS sk_max
+    FROM lineitem
+    GROUP BY 1 ORDER BY z_bucket
+    """,
+    category="layout",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering: interleave (l_partkey, l_suppkey) into a
+    Morton code and report the per-z-bucket (partkey, suppkey) bounding
+    box. Each z_bucket stands for one output file of a
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` rewrite —
+    the tight per-bucket min/max boxes this query emits ARE the
+    data-skipping index: a later scan filtering on EITHER dimension
+    prunes whole files from footer stats alone, which a single-column
+    sort only provides for its leading key. One hash-agg shuffle on the
+    bucket id; the z-value itself is codegen'd bit math (no UDF).
+    ``tests/test_io_engine.py::test_zorder_layout_skips_both_dims``
+    proves the payoff against a natural-order layout.
+    """
+    li = load_table(spark, sf, "lineitem")
+    z = zvalue(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.select(
+            F.shiftright(z, _Z_BUCKET_SHIFT).alias("z_bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+# the delta slice: one orderkey residue class ≈ 10% of the fact table
+_DELTA_PRED = "l_orderkey % 10 = 7"
+
+
+@query(
+    "q105_incremental_agg",
+    oracle=f"""
+    WITH base AS (SELECT * FROM lineitem WHERE NOT ({_DELTA_PRED})),
+    delta AS (SELECT * FROM lineitem WHERE {_DELTA_PRED}),
+    pb AS (
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS cnt, sum(CAST(l_quantity AS BIGINT)) AS sq,
+             min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM base GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS cnt, sum(CAST(l_quantity AS BIGINT)) AS sq,
+             min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM delta GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(cnt) AS BIGINT) AS row_cnt,
+           CAST(sum(sq) AS BIGINT) AS sum_qty,
+           CAST((sum(sq) * 10000) // sum(cnt) AS BIGINT) AS avg_qty_e4,
+           ROUND(min(mn), 4) AS min_price,
+           ROUND(max(mx), 4) AS max_price
+    FROM (SELECT * FROM pb UNION ALL SELECT * FROM pd)
+    GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus
+    """,
+    category="layout",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's materialized
+    PARTIAL states (count/sum/min/max per group, computed on the base
+    slice) merge with today's delta slice's partials by a second
+    group-by over the union — count and sum re-sum, min/max re-min/max,
+    and avg is DERIVED at merge time as sum/count (never averaged
+    averages). Semantically identical to a full recompute — the oracle
+    builds the same two partials and merges them, so what is verified
+    is the merge algebra itself. At 100 TB this is the difference
+    between rescanning the base table daily and touching only the
+    delta: the merge input is |groups| rows, not |rows|. Quantities sum
+    on the exact integer path (they are integral); the derived average
+    is published as an e4 integer (``sum*10000 DIV cnt``) — exact in
+    both engines, no float-division drift. The delta predicate stands
+    in for an ingest partition boundary.
+    """
+    li = load_table(spark, sf, "lineitem")
+    delta_pred = F.col("l_orderkey") % 10 == 7
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+
+    merged = partial(li.filter(~delta_pred)).unionAll(
+        partial(li.filter(delta_pred))
+    )
+    return (
+        merged.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("cnt").alias("row_cnt"),
+            F.sum("sq").alias("sum_qty"),
+            F.expr("(sum(sq) * 10000) DIV sum(cnt)").alias("avg_qty_e4"),
+            F.round(F.min("mn"), 4).alias("min_price"),
+            F.round(F.max("mx"), 4).alias("max_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q106_runtime_bounds_join",
+    oracle="""
+    WITH dim AS (
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT d.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
+    GROUP BY 1 ORDER BY o_orderpriority
+    """,
+    category="layout",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime min/max join reduction (the dynamic-filter pattern for
+    non-partition keys): before joining the fact table to a filtered
+    dimension slice, compute the slice's key bounds as a 1-row
+    aggregate, broadcast it, and pre-filter fact rows to
+    ``key BETWEEN lo AND hi`` — the bounds are computed AT RUNTIME from
+    the dim predicate, exactly like Spark's InjectRuntimeFilter /
+    dynamic partition pruning, but expressed for an arbitrary sort-
+    correlated key. Because appended facts carry monotonically growing
+    keys, a "recent slice" dim prunes the overwhelming share of fact
+    bytes before the join shuffle (here ~90%: orderkey < 1500 of
+    ~15k·sf). The reduction is semantics-free — the oracle runs the
+    plain join — and fully lazy: the bounds ride a broadcast nested-
+    loop of a single aggregate row, no driver collect
+    (``tests/test_plans.py`` pins the filter-below-join shape).
+    """
+    li = load_table(spark, sf, "lineitem")
+    dim = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    bounds = dim.agg(
+        F.min("o_orderkey").alias("k_lo"), F.max("o_orderkey").alias("k_hi")
+    )
+    reduced = (
+        li.select("l_orderkey", "l_quantity")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("l_orderkey").between(F.col("k_lo"), F.col("k_hi")))
+    )
+    # no broadcast hint on the main join: the pattern exists precisely for
+    # dim slices too large to broadcast (Catalyst/AQE still picks BHJ when
+    # the slice is small, as here; the bounds pre-filter pays either way
+    # by shrinking the fact rows that reach the join)
+    return (
+        reduced.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

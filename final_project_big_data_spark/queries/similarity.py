@@ -856,3 +856,102 @@ def d10(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "s05_quantized_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q8 AS (
+      SELECT vec_id, v, list_aggregate(v, 'min') AS mn,
+             (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0
+               AS sc
+      FROM e
+    ),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN sc = 0 THEN v
+                  ELSE list_transform(
+                         v, x -> mn + floor((x - mn) / sc + 0.5) * sc)
+             END AS v
+      FROM q8
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM dq),
+    q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq
+          FROM n WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             list_dot_product(q.qv, n.v) / (q.nq * n.nv) AS cs
+      FROM q JOIN n ON n.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    ORDER BY query_id, rank
+    """,
+    category="similarity",
+)
+def s05(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar-quantized ANN: per-vector (min, max) quantization of
+    the embedding to 256 levels, then cosine top-k over the DEQUANTIZED
+    vectors — the standard memory-side ANN trade (4× smaller vectors in
+    the index/serving tier, reconstruction error ≤ scale/2 per
+    dimension). The whole codec is JVM expression work (array_min/max +
+    one ``transform``); no UDF, no shuffle beyond s01's broadcast
+    probe×corpus shape. The oracle replays the identical codec in
+    DuckDB (same ``floor(·+0.5)`` grid, same sequential dot order), so
+    correctness covers the quantizer itself, not just the top-k;
+    ``tests/test_similarity.py`` additionally pins recall@{_TOP_K}
+    against the exact s01 ranking. At 100 TB the quantized corpus is
+    what ships to the ANN tier; s02/s03's bucketing composes on top
+    unchanged.
+    """
+    e = widen(load_table(spark, sf, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    q8 = e.select(
+        "vec_id", "v", mn.alias("mn"), ((mx - mn) / 255.0).alias("sc")
+    )
+    dq = q8.select(
+        "vec_id",
+        F.when(F.col("sc") == 0, F.col("v"))
+        .otherwise(
+            F.transform(
+                "v",
+                lambda x: F.col("mn")
+                + F.floor((x - F.col("mn")) / F.col("sc") + 0.5)
+                * F.col("sc"),
+            )
+        )
+        .alias("v"),
+    )
+    n = dq.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    scored = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
+            "cs"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    from final_project_big_data_spark.plans.ordering import tiny_sorted
+
+    return tiny_sorted(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank"
+        ),
+        "query_id",
+        "rank",
+    )

@@ -246,3 +246,60 @@ print("RESTART_OK")
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
     )
     assert "RESTART_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_zorder_layout_skips_both_dims(spark, sf_dir):
+    """Z-order clustering (q104's layout rewrite) must yield per-file
+    (partkey, suppkey) bounding boxes dramatically tighter than a
+    single-key natural layout — the tight boxes ARE the data-skipping
+    win: a filter on EITHER dimension prunes whole files from footer
+    min/max stats. Measured as the summed normalized bbox area over 8
+    range-partitioned "files": a contiguous 1/8th of the Z-curve covers
+    ~1/8th of the key plane, while 1/8th of an orderkey-sorted table
+    covers ALL of it (partkeys are uncorrelated with orderkey)."""
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.queries.layout import zvalue
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+
+    def bbox_area_sum(df, key) -> float:
+        parts = (
+            df.repartitionByRange(8, key)
+            .withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                F.min("l_partkey").alias("x0"),
+                F.max("l_partkey").alias("x1"),
+                F.min("l_suppkey").alias("y0"),
+                F.max("l_suppkey").alias("y1"),
+            )
+            .collect()
+        )
+        gx0 = min(r.x0 for r in parts)
+        gx1 = max(r.x1 for r in parts)
+        gy0 = min(r.y0 for r in parts)
+        gy1 = max(r.y1 for r in parts)
+        span_x = max(gx1 - gx0, 1)
+        span_y = max(gy1 - gy0, 1)
+        return sum(
+            ((r.x1 - r.x0) / span_x) * ((r.y1 - r.y0) / span_y) for r in parts
+        )
+
+    z = li.withColumn("zval", zvalue(F.col("l_partkey"), F.col("l_suppkey")))
+    z_area = bbox_area_sum(z, "zval")
+    natural_area = bbox_area_sum(li, "l_orderkey")
+    # natural layout: every file spans the full plane (area ~= 8);
+    # z layout: 8 curve segments tile it (area ~= 1, plus boundary slop)
+    assert z_area < 0.5 * natural_area, (z_area, natural_area)
+
+
+def test_zvalue_is_pure_jvm_bit_math(spark, sf_dir):
+    """q104's z-value must stay inside whole-stage codegen — no Python
+    evaluation node anywhere in the plan."""
+    from final_project_big_data_spark.queries import all_specs
+
+    df = all_specs()["q104_zorder_layout"].builder(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

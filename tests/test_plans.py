@@ -403,3 +403,32 @@ def test_cogroup_filter_mirrored_to_both_scans(spark, sf_dir):
     assert "LessThan(c_custkey,200)" in p, p
     assert "LessThan(o_custkey,200)" in p, p
     assert "FlatMapCoGroupsInPandas" in p, p
+
+
+def test_q106_bounds_filter_below_equi_join(spark, sf_dir):
+    """q106: the runtime min/max bounds must be APPLIED to the fact side
+    BEFORE the equi-join — physically a 1-row IdentityBroadcast nested-
+    loop carrying the BETWEEN condition, feeding the probe side of the
+    main join. If the bounds ride above the join (or fold away), the
+    fact table reaches the join unreduced and the pattern is dead."""
+    import re
+
+    p = plan(spark, "q106_runtime_bounds_join", sf_dir)
+    assert "k_lo" in p and "k_hi" in p, p
+    # formatted explain numbers nodes post-order: children carry SMALLER
+    # ids than their parents, so "bounds join below equi-join" is
+    # id(BNLJ) < id(equi-join)
+    bnlj = re.search(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", p)
+    equi = re.search(r"(?:BroadcastHashJoin|SortMergeJoin)[^(]*\((\d+)\)", p)
+    assert bnlj and equi, p
+    assert int(bnlj.group(1)) < int(equi.group(1)), p
+
+
+def test_q105_merge_is_two_partials_one_exchange_each(spark, sf_dir):
+    """q105: both slices aggregate map-side (partial HashAggregate below
+    the exchange) and the merge is itself a hash aggregate — no sort-
+    based agg anywhere, no Python node."""
+    p = plan(spark, "q105_incremental_agg", sf_dir)
+    assert "SortAggregate" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("HashAggregate") >= 4, p  # partial+final per slice

@@ -166,3 +166,19 @@ def test_assign_kernel_sized_to_input(monkeypatch, sf_dir):
     # env override wins for A/B probes
     monkeypatch.setenv("SPARK_GRAFT_IVF_ASSIGN", "np")
     assert S._assign_kernel(sf_dir) == "np"
+
+
+def test_quantized_ann_recall_at_k(spark, sf_dir):
+    """Int8 scalar quantization (s05) reconstructs within scale/2 per
+    dim — at 256 levels the ranking perturbation is tiny, so recall@5
+    vs the exact s01 ranking must be near-perfect (measured 1.0 at
+    sf0.001; 0.8 leaves room for legitimate boundary flips on other
+    corpora)."""
+    recall = _recall_vs_exact(spark, sf_dir, "s05_quantized_ann")
+    assert recall >= 0.8, f"recall@5 = {recall:.3f}"
+
+
+def test_quantized_ann_deterministic(spark, sf_dir):
+    a = all_specs()["s05_quantized_ann"].builder(spark, sf_dir).collect()
+    b = all_specs()["s05_quantized_ann"].builder(spark, sf_dir).collect()
+    assert a == b
