@@ -56,6 +56,10 @@ EXTRAS = [
     "q70_sessionization",
     "q96_tpch_q2_min_cost",
     "q100_event_funnel",
+    "q104_zorder_layout",
+    "q105_incremental_agg",
+    "q106_runtime_bounds_join",
+    "s05_quantized_ann",
 ]
 
 
