@@ -33,7 +33,9 @@ and (locally) fastest.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import os
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -45,3 +47,137 @@ def dot_fold(x: Column, y: Column) -> Column:
         F.lit(0.0),
         lambda acc, z: acc + z,
     )
+
+
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of one fixture table (file or directory dataset).
+    Unstat-able paths (hdfs://, s3:// — i.e. cluster volumes) return -1,
+    which size-switched kernels read as "assume big"."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        return (
+            sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+            if os.path.isdir(p)
+            else os.path.getsize(p)
+        )
+    except OSError:
+        return -1
+
+
+# row-chunk cap for the pairwise kernel: chunk_rows × block_rows ≤ this
+# many doubles (32 MiB of partial-sum buffer per task)
+_PAIR_CHUNK_ELEMS = 4_000_000
+
+
+def block_pair_cosine(
+    df: DataFrame,
+    block_col: str,
+    mode: str,
+    tau: float | None = None,
+    strict: bool = False,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    v_col: str = "v",
+    nv_col: str = "nv",
+) -> DataFrame:
+    """Within-block pairwise cosine, Arrow-batched (round 8) — the pair-
+    stage twin of similarity's round-7 ``_numpy_assign``.
+
+    Replaces the ``a JOIN b ON block AND id<id`` + interpreted-fold shape
+    of d06/d10/s04 with one ``groupBy(block).applyInPandas``: each block's
+    pair dots run as NumPy column sweeps accumulated dim-by-dim
+    (``S += V[chunk, i:i+1] * V[None, :, i]``) — the same left-to-right
+    per-pair summation order as ``dot_fold`` / DuckDB's
+    ``list_dot_product``, so oracle bit parity is preserved BY
+    CONSTRUCTION (same floats, same order; the norm product commutes
+    bit-exactly). Row-chunked so the partial-sum buffer stays ≤32 MiB per
+    task regardless of block skew. Pairs are filtered INSIDE the kernel
+    (threshold or per-row top-k), so only survivors cross Arrow back —
+    the n² pair relation never materializes as rows anywhere.
+
+    mode="lt":   emit (id_a < id_b, cs) pairs passing ``cs > tau``
+                 (strict) / ``cs >= tau``; ids ascend within the block
+                 exactly like the join's ``a.id < b.id`` condition.
+    mode="topk": emit each row's k best neighbors (cs DESC, id ASC,
+                 self excluded) — both directions, like a != b.
+
+    Output schema: ``id_a bigint, id_b bigint, cs double``. Lazy — a
+    plain grouped-map plan node, no driver action.
+    """
+    assert mode in ("lt", "topk")
+
+    def pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cs": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.stack(pdf[v_col].to_numpy()[order])  # m × dim
+        nv = pdf[nv_col].to_numpy()[order]
+        m, dim = V.shape
+        chunk = max(1, _PAIR_CHUNK_ELEMS // m)
+        out_a, out_b, out_cs = [], [], []
+        for a0 in range(0, m, chunk):
+            a1 = min(a0 + chunk, m)
+            S = np.zeros((a1 - a0, m))
+            for i in range(dim):  # left fold over dims == dot_fold order
+                S += V[a0:a1, i : i + 1] * V[None, :, i]
+            cs = S / (nv[a0:a1, None] * nv[None, :])
+            if mode == "lt":
+                ai, bi = np.nonzero(
+                    (np.arange(m)[None, :] > np.arange(a0, a1)[:, None])
+                    & ((cs > tau) if strict else (cs >= tau))
+                )
+                out_a.append(ids[ai + a0])
+                out_b.append(ids[bi])
+                out_cs.append(cs[ai, bi])
+            else:
+                for r in range(a1 - a0):
+                    row = cs[r]
+                    sel = np.lexsort((ids, -row))
+                    sel = sel[sel != (a0 + r)][:k]
+                    out_a.append(np.full(len(sel), ids[a0 + r]))
+                    out_b.append(ids[sel])
+                    out_cs.append(row[sel])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype="int64"),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype="int64"),
+                "cs": np.concatenate(out_cs) if out_cs else np.array([], dtype="float64"),
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(
+        pairs, schema="id_a bigint, id_b bigint, cs double"
+    )
+
+
+# measured crossover (tools/pair_vec_probe.py, round 8): the kernel's
+# fixed Python-worker/Arrow stage loses at tiny volume and wins from
+# ~the 10× probe volume up — same data-sized posture as the IVF assign
+# kernel's 4 MiB switch
+_NP_PAIR_MIN_BYTES = 4 * 1024 * 1024
+
+
+def pair_kernel(sf_dir: str, table: str = "embeddings") -> str:
+    """Pick the within-block pair kernel from input metadata (no job,
+    lazy-safe): "np" = ``block_pair_cosine``, "join" = the equi-join +
+    interpreted ``dot_fold`` shape. ``SPARK_GRAFT_PAIR_KERNEL`` in
+    {join, np} overrides for A/B probes."""
+    forced = os.environ.get("SPARK_GRAFT_PAIR_KERNEL", "")
+    if forced in ("join", "np"):
+        return forced
+    size = table_bytes(sf_dir, table)
+    return "np" if (size < 0 or size >= _NP_PAIR_MIN_BYTES) else "join"

@@ -353,6 +353,11 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
     Dot products run element-sequential in both engines (identical fp
     order), so results hash-match exactly after round(·, 4).
     """
+    from final_project_big_data_spark.operators.vector import (
+        block_pair_cosine,
+        pair_kernel,
+    )
+
     dot = dot_fold  # shared sequential fold (see operators/vector.py)
 
     # norms once per row, not per pair (HOFs are interpreted — 3× cheaper)
@@ -362,24 +367,32 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     e = e.withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
-    a = e.alias("a")
-    b = e.alias("b")
-
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    if pair_kernel(sf) == "np":
+        # round-8 vectorized pair stage (operators/vector.py): identical
+        # floats/fold order to the join shape, bit parity by construction
+        pairs = block_pair_cosine(e, "label", mode="lt", tau=0.3)
+    else:
+        a = e.alias("a")
+        b = e.alias("b")
+        cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .where(cos >= 0.3)
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cos.alias("cs"),
+            )
         )
-        .where(cos >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cos_sim"),
-        )
-        .orderBy("vec_a", "vec_b")
-    )
+    return pairs.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.round("cs", 4).alias("cos_sim"),
+    ).orderBy("vec_a", "vec_b")
 
 
 @query(

@@ -753,32 +753,51 @@ def s04(spark: SparkSession, sf: str) -> DataFrame:
     trained partition (IVF centroid / LSH bucket — s02/s03); the plan is
     unchanged.
     """
+    from final_project_big_data_spark.operators.vector import (
+        block_pair_cosine,
+        pair_kernel,
+    )
+
     e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = en.select(
-        F.col("vec_id"), F.col("label"), F.col("v"), F.col("nv")
-    )
-    b = en.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("nb_label"),
-        F.col("v").alias("nb_v"),
-        F.col("nv").alias("nb_nv"),
-    )
-    scored = a.join(
-        b,
-        (F.col("label") == F.col("nb_label"))
-        & (F.col("vec_id") != F.col("neighbor_id")),
-    ).select(
-        "vec_id",
-        "neighbor_id",
-        (_dot(F.col("v"), F.col("nb_v")) / (F.col("nv") * F.col("nb_nv"))).alias(
-            "cs"
-        ),
-    )
+    if pair_kernel(sf) == "np":
+        # round-8 vectorized pair stage: the kernel already keeps only
+        # each row's top-k (same cs doubles, same (cs DESC, id ASC)
+        # order), so the JVM window below ranks ≤k rows per vector
+        # instead of the whole block² pair relation
+        scored = block_pair_cosine(
+            en, "label", mode="topk", k=_KNN_K
+        ).select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "cs",
+        )
+    else:
+        a = en.select(
+            F.col("vec_id"), F.col("label"), F.col("v"), F.col("nv")
+        )
+        b = en.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nb_label"),
+            F.col("v").alias("nb_v"),
+            F.col("nv").alias("nb_nv"),
+        )
+        scored = a.join(
+            b,
+            (F.col("label") == F.col("nb_label"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        ).select(
+            "vec_id",
+            "neighbor_id",
+            (
+                _dot(F.col("v"), F.col("nb_v"))
+                / (F.col("nv") * F.col("nb_nv"))
+            ).alias("cs"),
+        )
     w = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -829,26 +848,45 @@ def d10(spark: SparkSession, sf: str) -> DataFrame:
     choice (min id) makes the pass deterministic and idempotent —
     re-running on the deduped corpus drops nothing.
     """
+    from final_project_big_data_spark.operators.vector import (
+        block_pair_cosine,
+        pair_kernel,
+    )
+
     _, _, assigned, _ = _ivf_assigned(spark, sf)
-    a = assigned.select(
-        F.col("vec_id").alias("ka"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
-        "centroid_id",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("kb"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-        "centroid_id",
-    )
-    cs = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if pair_kernel(sf) == "np":
+        # round-8 vectorized pair stage: same floats, same fold order as
+        # the join shape below (operators/vector.py), pairs filtered
+        # inside the kernel so only survivors cross Arrow back
+        pairs = block_pair_cosine(
+            assigned.select("vec_id", "v", "nv", "centroid_id"),
+            "centroid_id",
+            mode="lt",
+            tau=_SEMDEDUP_TAU,
+            strict=True,
+        ).select(F.col("id_a").alias("ka"), F.col("id_b").alias("kb"), "cs")
+    else:
+        a = assigned.select(
+            F.col("vec_id").alias("ka"),
+            F.col("v").alias("va"),
+            F.col("nv").alias("na"),
+            "centroid_id",
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("kb"),
+            F.col("v").alias("vb"),
+            F.col("nv").alias("nb"),
+            "centroid_id",
+        )
+        cs = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        pairs = (
+            a.join(b, ["centroid_id"])
+            .filter(F.col("ka") < F.col("kb"))
+            .select("ka", "kb", cs.alias("cs"))
+            .filter(F.col("cs") > _SEMDEDUP_TAU)
+        )
     return (
-        a.join(b, ["centroid_id"])
-        .filter(F.col("ka") < F.col("kb"))
-        .select("ka", "kb", cs.alias("cs"))
-        .filter(F.col("cs") > _SEMDEDUP_TAU)
-        .groupBy(F.col("kb").alias("vec_id"))
+        pairs.groupBy(F.col("kb").alias("vec_id"))
         .agg(
             F.min("ka").alias("keeper_id"),
             F.count("*").alias("n_neighbors"),

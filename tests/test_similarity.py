@@ -182,3 +182,35 @@ def test_quantized_ann_deterministic(spark, sf_dir):
     a = all_specs()["s05_quantized_ann"].builder(spark, sf_dir).collect()
     b = all_specs()["s05_quantized_ann"].builder(spark, sf_dir).collect()
     assert a == b
+
+
+def test_pair_kernels_bit_parity(spark, sf_dir, monkeypatch):
+    """The round-8 vectorized pair stage (operators/vector.
+    block_pair_cosine) must be BIT-IDENTICAL to the equi-join +
+    interpreted dot_fold shape on every query that switches on it —
+    same floats, same fold order, same survivors, same ranks. Collected
+    rows compare exactly (no rounding slack beyond each query's own
+    round(·,4) output column)."""
+    for name in (
+        "d06_embedding_near_dup",
+        "d10_semdedup",
+        "s04_knn_self_join",
+    ):
+        outs = []
+        for kern in ("join", "np"):
+            monkeypatch.setenv("SPARK_GRAFT_PAIR_KERNEL", kern)
+            outs.append(all_specs()[name].builder(spark, sf_dir).collect())
+        assert outs[0] == outs[1], name
+
+
+def test_pair_kernel_sized_to_input(monkeypatch, sf_dir):
+    """Kernel choice is metadata-only (lazy-safe): tiny fixtures take the
+    join shape, at-scale (or unstat-able cluster) paths take NumPy; the
+    env override wins for A/B probes."""
+    from final_project_big_data_spark.operators import vector as V
+
+    monkeypatch.delenv("SPARK_GRAFT_PAIR_KERNEL", raising=False)
+    assert V.pair_kernel(sf_dir) == "join"  # sf0.001 embeddings ≪ 4 MiB
+    assert V.pair_kernel("hdfs://nowhere/sf100") == "np"
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_KERNEL", "np")
+    assert V.pair_kernel(sf_dir) == "np"
