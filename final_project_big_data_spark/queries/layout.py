@@ -18,46 +18,15 @@ both sides of every oracle.
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from final_project_big_data_spark.io import load_table
+from final_project_big_data_spark.operators.zorder import zvalue, zvalue_sql
 from final_project_big_data_spark.queries import query
 
-_Z_BITS = 16  # bits interleaved per dimension (32-bit z-values)
 _Z_BUCKET_SHIFT = 16  # one "file" per 2^16 z-cells
-
-
-def zvalue(x: Column, y: Column, bits: int = _Z_BITS) -> Column:
-    """Morton/Z-order interleave of the low ``bits`` bits of two
-    non-negative integer columns: bit i of x lands at position 2i, bit i
-    of y at 2i+1. Pure JVM bit arithmetic — whole-stage codegen'd, no
-    shuffle, no UDF. Keys wider than ``bits`` bits wrap (masked), which
-    degrades clustering quality but never correctness.
-    """
-    xm = x.bitwiseAND(F.lit((1 << bits) - 1)).cast("long")
-    ym = y.bitwiseAND(F.lit((1 << bits) - 1)).cast("long")
-    parts = []
-    for i in range(bits):
-        parts.append(F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i))
-        parts.append(
-            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return reduce(lambda a, b: a.bitwiseOR(b), parts)
-
-
-def _zvalue_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
-    """The same interleave as :func:`zvalue`, unrolled to DuckDB bit
-    operators — the oracle computes z-values independently."""
-    xm = f"(CAST({x} AS BIGINT) & {(1 << bits) - 1})"
-    ym = f"(CAST({y} AS BIGINT) & {(1 << bits) - 1})"
-    parts = []
-    for i in range(bits):
-        parts.append(f"((({xm} >> {i}) & 1) << {2 * i})")
-        parts.append(f"((({ym} >> {i}) & 1) << {2 * i + 1})")
-    return "(" + " | ".join(parts) + ")"
+_zvalue_sql = zvalue_sql  # oracle-side twin (operators/zorder.py)
 
 
 @query(

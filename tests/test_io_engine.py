@@ -303,3 +303,53 @@ def test_zvalue_is_pure_jvm_bit_math(spark, sf_dir):
     df = all_specs()["q104_zorder_layout"].builder(spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_write_zordered_footer_stats_tight(spark, sf_dir, tmp_path):
+    """write_zordered must produce parquet whose PER-FILE footer min/max
+    (the stats engines actually prune on — read back with pyarrow, not
+    inferred) box BOTH clustered columns tightly: summed normalized bbox
+    area < half the natural-order write's. Also sanity-pins that the
+    rewrite is content-preserving."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from final_project_big_data_spark.io import load_table, write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "z")
+    npath = str(tmp_path / "n")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=8)
+    li.repartitionByRange(8, "l_orderkey").write.mode("overwrite").parquet(npath)
+
+    def footer_area(path) -> float:
+        boxes = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            lo = {c: None for c in ("l_partkey", "l_suppkey")}
+            hi = {c: None for c in ("l_partkey", "l_suppkey")}
+            for rg in range(md.num_row_groups):
+                for c in lo:
+                    st = md.row_group(rg).column(cols[c]).statistics
+                    lo[c] = st.min if lo[c] is None else min(lo[c], st.min)
+                    hi[c] = st.max if hi[c] is None else max(hi[c], st.max)
+            boxes.append((lo["l_partkey"], hi["l_partkey"],
+                          lo["l_suppkey"], hi["l_suppkey"]))
+        gx0 = min(b[0] for b in boxes)
+        gx1 = max(b[1] for b in boxes)
+        gy0 = min(b[2] for b in boxes)
+        gy1 = max(b[3] for b in boxes)
+        sx, sy = max(gx1 - gx0, 1), max(gy1 - gy0, 1)
+        return sum(((b[1] - b[0]) / sx) * ((b[3] - b[2]) / sy) for b in boxes)
+
+    assert footer_area(zpath) < 0.5 * footer_area(npath)
+    # content-preserving: same multiset of rows
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0

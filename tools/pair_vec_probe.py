@@ -7,7 +7,7 @@ Times d06/d10/s04 end-to-end (noop sink, min-of-N) under both kernels —
 — on one fixture dir. The kernels are bit-identical by construction
 (tests/test_similarity.py pins it); this probe measures the constant.
 
-Usage: python tools/pair_vec_probe.py [sf_dir] [runs]
+Usage: python tools/pair_vec_probe.py [sf_dir] [runs] [--kernels=np,join]
 """
 
 from __future__ import annotations
@@ -23,12 +23,23 @@ QUERIES = ["d06_embedding_near_dup", "d10_semdedup", "s04_knn_self_join"]
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.1"
+    runs = int(args[1]) if len(args) > 1 else 3
+    kernels = ("join", "np")
+    for a in sys.argv[1:]:
+        if a.startswith("--kernels="):
+            kernels = tuple(a.split("=", 1)[1].split(","))
 
+    # high-volume probe hygiene (the round-7 sweep lessons): spill to
+    # DISK, not tmpfs (untimed correctness of the spill path costs
+    # nothing; tmpfs pages are RAM), and size the heap to the input —
+    # both must precede the JVM launch
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/tmp/spark_probe_local")
     from final_project_big_data_spark.queries import all_specs
     from final_project_big_data_spark.session import (
         get_spark,
+        sized_driver_memory,
         sized_max_partition_bytes,
         sized_shuffle_partitions,
     )
@@ -41,13 +52,14 @@ def main() -> None:
             "spark.sql.files.maxPartitionBytes": str(
                 sized_max_partition_bytes(sf)
             ),
+            "spark.driver.memory": sized_driver_memory(sf),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
     out: dict = {"probe": "pair_vec", "sf_dir": sf, "kernels": {}}
-    for kern in ("join", "np"):
+    for kern in kernels:
         os.environ["SPARK_GRAFT_PAIR_KERNEL"] = kern
         row = {}
         for name in QUERIES:
