@@ -214,3 +214,50 @@ def test_pair_kernel_sized_to_input(monkeypatch, sf_dir):
     assert V.pair_kernel("hdfs://nowhere/sf100") == "np"
     monkeypatch.setenv("SPARK_GRAFT_PAIR_KERNEL", "np")
     assert V.pair_kernel(sf_dir) == "np"
+
+
+def test_pair_kernel_chunked_path_and_edges(spark, sf_dir, monkeypatch):
+    """The kernel's row-chunked accumulation path never triggers at test
+    SF (blocks fit one chunk), so force 1-row chunks and require output
+    identical to the single-chunk run — plus the edge blocks the fixture
+    lacks: a 1-row block (no pairs), duplicate vectors (cs ties broken
+    by id), and k larger than the block."""
+    from pyspark.sql import Row
+
+    from final_project_big_data_spark.operators import vector as V
+
+    rows = [
+        # block 0: three vectors, two identical (tie), one 1-row block
+        Row(vec_id=1, label=0, v=[1.0, 0.0], nv=1.0),
+        Row(vec_id=2, label=0, v=[1.0, 0.0], nv=1.0),
+        Row(vec_id=3, label=0, v=[0.6, 0.8], nv=1.0),
+        Row(vec_id=9, label=1, v=[0.0, 1.0], nv=1.0),
+        # block 2: four vectors to exercise multi-chunk splits
+        Row(vec_id=4, label=2, v=[1.0, 1.0], nv=2.0**0.5),
+        Row(vec_id=5, label=2, v=[1.0, 0.0], nv=1.0),
+        Row(vec_id=6, label=2, v=[0.0, 1.0], nv=1.0),
+        Row(vec_id=7, label=2, v=[-1.0, 0.0], nv=1.0),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def run(mode, **kw):
+        return sorted(
+            V.block_pair_cosine(df, "label", mode=mode, **kw).collect()
+        )
+
+    whole_lt = run("lt", tau=-2.0)  # keep every pair
+    whole_tk = run("topk", k=10)  # k > every block size
+    monkeypatch.setattr(V, "_PAIR_CHUNK_ELEMS", 1)  # 1-row chunks
+    assert run("lt", tau=-2.0) == whole_lt
+    assert run("topk", k=10) == whole_tk
+    monkeypatch.undo()
+    # 1-row block contributes nothing; identical vectors give cs=1.0 both
+    # directions with id tiebreak
+    ids = {(r.id_a, r.id_b) for r in whole_lt}
+    assert (1, 2) in ids and not any(a == 9 or b == 9 for a, b in ids)
+    tk = {(r.id_a, r.id_b): r.cs for r in whole_tk}
+    assert tk[(1, 2)] == 1.0 and tk[(2, 1)] == 1.0
+    # topk ordering: for vec 1, identical twin (2) outranks the 0.6-cos
+    # neighbor (3)
+    one = [r for r in whole_tk if r.id_a == 1]
+    assert sorted(one, key=lambda r: (-r.cs, r.id_b))[0].id_b == 2
