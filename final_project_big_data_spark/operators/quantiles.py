@@ -34,17 +34,18 @@ path for genuinely continuous 100 TB columns remains
 ``percentile_approx`` (C02/a02) — this operator is the exact path that
 the reference's test queries (q42, q56) require.
 
-GLOBAL-case bound (empty ``group_cols``): ``Window.partitionBy()`` with
-no keys puts every distinct value into ONE window partition on one
-task, so the bound degrades from "distinct values per group" to "ALL
-distinct values of the column, sorted and buffered on a single task".
-That is fine for the discrete/bounded-cardinality domains this operator
-is routed to (q42/q56: prices quantized to cents, discounts with 11
-distinct values) — a few million (value, count) longs per task — but a
-near-continuous column used globally re-creates the exact hazard this
-module was written to remove. The routing rule is therefore
-cardinality-based, not grouping-based: near-continuous domains go to
-``percentile_approx`` whether grouped or global.
+GLOBAL case (empty ``group_cols``, reworked round 8): a no-key
+``Window.partitionBy()`` would put every distinct value into ONE window
+partition on one task — the round-6 docstring documented that bound;
+round 8 removed it. The running count over the value order is an
+exclusive prefix sum, so the global path now routes through
+``indexing.with_prefix_sum`` (range exchange + per-partition offsets +
+broadcast 1-row total): the memory bound is "distinct values per
+PARTITION" at every stage, grouped or global. The routing rule to
+``percentile_approx`` remains for genuinely continuous 100 TB columns —
+exactness over a counting formulation still costs a full shuffle of the
+distinct domain, and a sketch is the right trade when the domain is the
+row count.
 """
 
 from __future__ import annotations
@@ -72,13 +73,34 @@ def exact_quantile_cont(
         .groupBy(*group_cols, value_col)
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    wv = W.partitionBy(*group_cols).orderBy(value_col)
-    wg = W.partitionBy(*group_cols)
-    ranked = (
-        vc.withColumn("_hi", F.sum("_c").over(wv))
-        .withColumn("_lo", F.col("_hi") - F.col("_c"))
-        .withColumn("_n", F.sum("_c").over(wg))
-    )
+    if group_cols:
+        wv = W.partitionBy(*group_cols).orderBy(value_col)
+        wg = W.partitionBy(*group_cols)
+        ranked = (
+            vc.withColumn("_hi", F.sum("_c").over(wv))
+            .withColumn("_lo", F.col("_hi") - F.col("_c"))
+            .withColumn("_n", F.sum("_c").over(wg))
+        )
+    else:
+        # GLOBAL case (round 8, closing the round-6 docstring caveat):
+        # Window.partitionBy() with no keys would buffer and sort ALL
+        # distinct values in ONE task. The running count is just an
+        # exclusive prefix sum over the value order — route it through
+        # the distributed two-pass prefix-sum (indexing.with_prefix_sum:
+        # range exchange + per-partition offsets), so the bound is
+        # "distinct values per PARTITION" everywhere; the total rides a
+        # 1-row broadcast. Identical _lo/_hi/_n values to the window
+        # spelling — only the plan shape changes.
+        from final_project_big_data_spark.operators.indexing import (
+            with_prefix_sum,
+        )
+
+        total = vc.groupBy().agg(F.sum("_c").alias("_n"))
+        ranked = (
+            with_prefix_sum(vc, [value_col], "_c", "_lo")
+            .withColumn("_hi", F.col("_lo") + F.col("_c"))
+            .crossJoin(F.broadcast(total))
+        )
     aggs: list[Column] = []
     for name, q in qs.items():
         # 0-indexed fractional position, the quantile_cont convention

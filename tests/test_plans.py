@@ -432,3 +432,19 @@ def test_q105_merge_is_two_partials_one_exchange_each(spark, sf_dir):
     assert "SortAggregate" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert p.count("HashAggregate") >= 4, p  # partial+final per slice
+
+
+def test_a02_global_quantile_has_no_unpartitioned_window(spark, sf_dir):
+    """Global exact quantiles (round-8 rework): the running count must
+    ride the distributed prefix-sum, so every window in the plan is
+    partitioned (an UNpartitioned windowspecdefinition starts directly
+    with a sort spec — the single-task cliff the rework removed)."""
+    import re
+
+    df = SPECS["a02_approx_quantiles"].builder(spark, sf_dir)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p  # the prefix-sum's per-partition running count
+    for s in specs:
+        first = s.split(",")[1] if False else s.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, (s, p)
