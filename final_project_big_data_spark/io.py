@@ -293,6 +293,46 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``ceil(bytes / target_file_bytes)`` right-sized files (returned).
+
+    The 100 TB operational reality this answers: streaming sinks and
+    per-task writers leave thousands of KB-scale files per partition, and
+    scan planning degrades linearly with file count (footer reads, task
+    scheduling) long before data volume hurts. Sizing from the SOURCE
+    BYTES (driver-side listing — metadata, not data) avoids both failure
+    modes of a fixed fan-in: too few files (giant tasks, no parallelism)
+    and too many (the problem re-created). With ``sort_cols`` the rewrite
+    range-partitions and sorts-within (clustered compaction — footer
+    min/max stay useful, the ``write_zordered`` companion for one key);
+    without, a round-robin ``repartition`` balances bytes exactly.
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files
+
+
 def write_zordered(
     df: DataFrame, path: str, x_col: str, y_col: str, n_files: int = 8
 ) -> None:

@@ -353,3 +353,54 @@ def test_write_zordered_footer_stats_tight(spark, sf_dir, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == li.count()
     assert back.exceptAll(li).count() == 0
+
+
+def test_compact_files_right_sizes_and_preserves_rows(spark, sf_dir, tmp_path):
+    """compact_files must collapse a many-small-files dataset to the
+    byte-derived file count, preserve the row multiset, and (with
+    sort_cols) leave per-file footer ranges disjoint-ish (clustered)."""
+    import glob
+    import os
+
+    from final_project_big_data_spark.io import compact_files, load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(frag)  # tiny files
+    n_small = len(glob.glob(f"{frag}/*.parquet"))
+    assert n_small == 64
+
+    dst = str(tmp_path / "compacted")
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(f"{frag}/*.parquet")
+    )
+    n = compact_files(spark, frag, dst, target_file_bytes=total // 4 + 1)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert n == 4 and len(files) == 4
+    back = spark.read.parquet(dst)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+
+    # clustered compaction: sorted rewrite keeps footer ranges ordered
+    dst2 = str(tmp_path / "clustered")
+    compact_files(
+        spark, frag, dst2, target_file_bytes=total // 4 + 1,
+        sort_cols=["l_orderkey"],
+    )
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(f"{dst2}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            "l_orderkey"
+        ]
+        st = md.row_group(0).column(idx).statistics
+        lo, hi = st.min, st.max
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append((lo, hi))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # range-partitioned: files don't interleave
