@@ -660,6 +660,18 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
     at build time (pinned in tests/test_similarity.py).
     """
     en, cents, assigned, kdf = _ivf_assigned(spark, sf)
+    return _ivf_probe(en.filter(F.col("vec_id") < _N_QUERIES), cents, assigned, kdf)
+
+
+def _ivf_probe(
+    probes_en: DataFrame, cents: DataFrame, assigned: DataFrame, kdf: DataFrame
+) -> DataFrame:
+    """The query side of IVF ANN, shared by s03 (fresh build) and
+    ``operators.ivf_index`` (persisted index): rank centroids per probe,
+    take nprobe = ⌈k/8⌉ inverted lists, exact cosine re-rank to top-k.
+    ``probes_en`` must carry (vec_id, v, nv); the exploded
+    (probe, centroid) affinity shape is fine HERE because the probe set
+    is bounded — ≤ |probes|×k affinities ever exist."""
     npdf = kdf.select(
         F.greatest(
             F.lit(_MIN_NPROBE),
@@ -668,10 +680,7 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("np")
     )
-    # query side: top-nprobe centroids per probe vector. The exploded
-    # (probe, centroid) affinity shape is fine HERE because the probe set
-    # is bounded at _N_QUERIES rows — ≤ _N_QUERIES×k affinities ever exist.
-    aff = en.filter(F.col("vec_id") < _N_QUERIES).join(F.broadcast(cents)).select(
+    aff = probes_en.join(F.broadcast(cents)).select(
         "vec_id",
         "v",
         "nv",

@@ -261,3 +261,21 @@ def test_pair_kernel_chunked_path_and_edges(spark, sf_dir, monkeypatch):
     # neighbor (3)
     one = [r for r in whole_tk if r.id_a == 1]
     assert sorted(one, key=lambda r: (-r.cs, r.id_b))[0].id_b == 2
+
+
+def test_persisted_ivf_index_matches_fresh(spark, sf_dir, tmp_path):
+    """Index persistence (operators/ivf_index.py): save the trained IVF
+    index as parquet, query it, and require EXACTLY the fresh s03 rows —
+    centroid doubles and postings round-trip parquet bit-exactly, and
+    both paths share _ivf_probe, so any divergence is a bug."""
+    from final_project_big_data_spark.operators.ivf_index import (
+        ivf_topk_with_index,
+        save_ivf_index,
+    )
+    from final_project_big_data_spark.queries import similarity as S
+
+    fresh = all_specs()["s03_ivf_ann_topk"].builder(spark, sf_dir).collect()
+    idx = str(tmp_path / "ivf_index")
+    save_ivf_index(spark, sf_dir, idx)
+    stored = ivf_topk_with_index(spark, idx, S._N_QUERIES).collect()
+    assert stored == fresh
