@@ -316,6 +316,16 @@ def compact_files(
     """
     import math
 
+    # mode("overwrite") deletes dst before/while the lazy read of src
+    # runs — a dst that IS src (or nests either way) would destroy the
+    # input mid-job, so refuse up front
+    s, d = os.path.abspath(src), os.path.abspath(dst)
+    assert (
+        d != s
+        and not d.startswith(s + os.sep)
+        and not s.startswith(d + os.sep)
+    ), f"compact_files: dst must be disjoint from src (src={s}, dst={d})"
+
     total = 0
     for root, _dirs, files in os.walk(src):
         for f in files:

@@ -50,20 +50,22 @@ def dot_fold(x: Column, y: Column) -> Column:
 
 
 def table_bytes(sf_dir: str, table: str) -> int:
-    """On-disk bytes of one fixture table (file or directory dataset).
-    Unstat-able paths (hdfs://, s3:// — i.e. cluster volumes) return -1,
-    which size-switched kernels read as "assume big"."""
+    """On-disk bytes of one fixture table (file or directory dataset;
+    recursive, so Hive-partitioned/nested layouts count their leaf files
+    rather than ~4 KB directory inodes). Unstat-able paths (hdfs://,
+    s3:// — i.e. cluster volumes) return -1, which size-switched kernels
+    read as "assume big". The ONE size helper shared by ``pair_kernel``
+    and similarity's ``_assign_kernel``."""
     p = os.path.join(sf_dir, f"{table}.parquet")
     try:
-        return (
-            sum(
-                os.path.getsize(os.path.join(p, f))
-                for f in os.listdir(p)
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(p)
+                for f in files
                 if not f.startswith((".", "_"))
             )
-            if os.path.isdir(p)
-            else os.path.getsize(p)
-        )
+        return os.path.getsize(p)
     except OSError:
         return -1
 
@@ -107,8 +109,21 @@ def block_pair_cosine(
 
     Output schema: ``id_a bigint, id_b bigint, cs double``. Lazy — a
     plain grouped-map plan node, no driver action.
+
+    Edge parity with the join shape (pinned by
+    ``tests/test_similarity.py::test_pair_kernel_null_and_nan_edges``):
+    NULL block keys are dropped before grouping (the join's equality
+    predicate never matches them, but a pandas groupBy WOULD form a NULL
+    group), and zero-/null-norm vectors are dropped — under ANSI mode
+    the join shape's ``dot/(na*nb)`` ABORTS on a zero divisor
+    (DIVIDE_BY_ZERO), so "degenerate vectors never pair" is the engine
+    contract, enforced identically here, in the join branches, and in
+    the DuckDB oracles (``WHERE nv > 0``).
     """
     assert mode in ("lt", "topk")
+    assert mode != "lt" or tau is not None, "mode='lt' requires tau"
+    assert mode != "topk" or k is not None, "mode='topk' requires k"
+    df = df.filter(F.col(block_col).isNotNull() & (F.col(nv_col) > 0))
 
     def pairs(pdf):
         import numpy as np

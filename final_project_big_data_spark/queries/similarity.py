@@ -300,20 +300,10 @@ def _assign_kernel(sf: str) -> str:
     forced = os.environ.get("SPARK_GRAFT_IVF_ASSIGN", "")
     if forced in ("hof", "np"):
         return forced
-    p = os.path.join(sf, "embeddings.parquet")
-    try:
-        size = (
-            sum(
-                os.path.getsize(os.path.join(p, f))
-                for f in os.listdir(p)
-                if not f.startswith((".", "_"))
-            )
-            if os.path.isdir(p)
-            else os.path.getsize(p)
-        )
-    except OSError:
-        return "np"
-    return "np" if size >= _NP_ASSIGN_MIN_BYTES else "hof"
+    from final_project_big_data_spark.operators.vector import table_bytes
+
+    size = table_bytes(sf, "embeddings")
+    return "np" if (size < 0 or size >= _NP_ASSIGN_MIN_BYTES) else "hof"
 
 
 # measured crossover (tools/ivf_vec_probe.py + ab_query, round 7): the
@@ -732,6 +722,8 @@ _KNN_K = 3
              sqrt(list_dot_product(embedding::DOUBLE[],
                                    embedding::DOUBLE[])) AS nv
       FROM embeddings
+      WHERE sqrt(list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[])) > 0
     ),
     scored AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -772,7 +764,11 @@ def s04(spark: SparkSession, sf: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # zero-norm vectors never pair (engine contract — ANSI mode would
+    # abort the divide; same WHERE nv > 0 guard in the oracle)
+    en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v")))).filter(
+        F.col("nv") > 0
+    )
     if pair_kernel(sf) == "np":
         # round-8 vectorized pair stage: the kernel already keeps only
         # each row's top-k (same cs doubles, same (cs DESC, id ASC)
@@ -830,6 +826,7 @@ _SEMDEDUP_TAU = 0.4  # cosine threshold: above it, the larger id is dropped
              list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cs
       FROM assigned2 a JOIN assigned2 b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE a.nv > 0 AND b.nv > 0
     )
     SELECT kb AS vec_id, min(ka) AS keeper_id,
            CAST(count(*) AS BIGINT) AS n_neighbors,
@@ -863,6 +860,9 @@ def d10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     _, _, assigned, _ = _ivf_assigned(spark, sf)
+    # zero-norm vectors never pair (engine contract — ANSI mode would
+    # abort the divide; same nv > 0 guard in the oracle's pairs CTE)
+    assigned = assigned.filter(F.col("nv") > 0)
     if pair_kernel(sf) == "np":
         # round-8 vectorized pair stage: same floats, same fold order as
         # the join shape below (operators/vector.py), pairs filtered

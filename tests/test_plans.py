@@ -446,5 +446,5 @@ def test_a02_global_quantile_has_no_unpartitioned_window(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert specs, p  # the prefix-sum's per-partition running count
     for s in specs:
-        first = s.split(",")[1] if False else s.split(",")[0]
+        first = s.split(",")[0]
         assert " ASC" not in first and " DESC" not in first, (s, p)

@@ -279,3 +279,90 @@ def test_persisted_ivf_index_matches_fresh(spark, sf_dir, tmp_path):
     save_ivf_index(spark, sf_dir, idx)
     stored = ivf_topk_with_index(spark, idx, S._N_QUERIES).collect()
     assert stored == fresh
+
+
+def test_pair_kernel_null_and_nan_edges(spark, sf_dir):
+    """Edge rows the fixture lacks (round-9, per ADVICE): a NULL block
+    key must pair with nothing (the join's equality predicate drops it;
+    a raw pandas groupBy would form a NULL group), and a zero-norm
+    vector must pair with nothing — the engine contract, because under
+    ANSI mode the join shape's divide ABORTS on a zero norm. Both modes
+    of the NumPy kernel are compared against the live Spark join shape
+    (with the same documented nv > 0 guard the call sites apply)."""
+    from pyspark.sql import Row
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from final_project_big_data_spark.operators import vector as V
+
+    rows = [
+        Row(vec_id=1, label=0, v=[1.0, 0.0]),
+        Row(vec_id=2, label=0, v=[0.6, 0.8]),
+        Row(vec_id=3, label=0, v=[0.0, 0.0]),  # zero norm -> never pairs
+        Row(vec_id=4, label=None, v=[1.0, 1.0]),  # null block key
+        Row(vec_id=5, label=1, v=[0.0, 1.0]),
+        Row(vec_id=6, label=1, v=[1.0, 0.0]),
+        Row(vec_id=7, label=1, v=[0.8, 0.6]),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "nv", F.sqrt(V.dot_fold(F.col("v"), F.col("v")))
+    )
+    guarded = df.filter(F.col("nv") > 0)  # the call-site engine guard
+
+    def join_pairs(cond_extra, tau=None, strict=False):
+        a = guarded.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("label").alias("la"),
+            F.col("v").alias("va"),
+            F.col("nv").alias("na"),
+        )
+        b = guarded.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("label").alias("lb"),
+            F.col("v").alias("vb"),
+            F.col("nv").alias("nb"),
+        )
+        cs = V.dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        out = a.join(
+            b, (F.col("la") == F.col("lb")) & cond_extra
+        ).select("id_a", "id_b", cs.alias("cs"))
+        if tau is not None:
+            out = out.filter(
+                F.col("cs") > tau if strict else F.col("cs") >= tau
+            )
+        return out
+
+    def norm(rows_):
+        return sorted((r.id_a, r.id_b, r.cs) for r in rows_)
+
+    # mode='lt': the kernel takes the UNguarded df (it applies the guard
+    # itself) and must match the guarded join; vec 3 and 4 pair nowhere
+    tau = 0.5
+    kern = V.block_pair_cosine(df, "label", mode="lt", tau=tau).collect()
+    join = join_pairs(F.col("id_a") < F.col("id_b"), tau=tau).collect()
+    assert norm(kern) == norm(join) and kern
+    ids = {i for r in kern for i in (r.id_a, r.id_b)}
+    assert 3 not in ids and 4 not in ids
+
+    # mode='topk': same exclusions, ranked output identical
+    k = 1
+    kernt = V.block_pair_cosine(df, "label", mode="topk", k=k).collect()
+    w = W.partitionBy("id_a").orderBy(F.desc("cs"), F.asc("id_b"))
+    joint = (
+        join_pairs(F.col("id_a") != F.col("id_b"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id_a", "id_b", "cs")
+        .collect()
+    )
+    assert norm(kernt) == norm(joint) and kernt
+    ids_t = {i for r in kernt for i in (r.id_a, r.id_b)}
+    assert 3 not in ids_t and 4 not in ids_t
+
+    # the degenerate parameter combos fail fast, not at executor runtime
+    import pytest
+
+    with pytest.raises(AssertionError):
+        V.block_pair_cosine(df, "label", mode="lt")  # tau missing
+    with pytest.raises(AssertionError):
+        V.block_pair_cosine(df, "label", mode="topk")  # k missing
