@@ -28,7 +28,7 @@ from final_project_big_data_spark.operators.vector import dot_fold
 from final_project_big_data_spark.plans.parallelism import widen
 from final_project_big_data_spark.queries import query
 
-_N_MINHASH = 4  # permutations, implemented as seeded md5 re-hashes
+_N_MINHASH = 8  # permutations, implemented as affine re-hashes of one md5
 
 
 def _words(col: str = "text"):
@@ -59,7 +59,16 @@ def d01(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _MH_P = 1073741789  # prime < 2^30: products stay < 2^60, no int64 overflow
-_MH_COEF = [(1, 0), (976369, 1982627), (515187, 875917), (740041, 303821)]
+_MH_COEF = [
+    (1, 0),
+    (976369, 1982627),
+    (515187, 875917),
+    (740041, 303821),
+    (628361, 118273),
+    (440817, 711679),
+    (904243, 55511),
+    (228887, 992161),
+]
 
 
 def _base_hash():
@@ -135,7 +144,10 @@ _MINHASH_SQL = f"""
 
 @query(
     "d02_minhash_signatures",
-    oracle=_MINHASH_SQL + "SELECT doc_id, mh0, mh1, mh2, mh3 FROM mh ORDER BY doc_id",
+    oracle=_MINHASH_SQL
+    + "SELECT doc_id, "
+    + ", ".join(f"mh{i}" for i in range(_N_MINHASH))
+    + " FROM mh ORDER BY doc_id",
     category="dedup",
 )
 def d02(spark: SparkSession, sf: str) -> DataFrame:
@@ -190,26 +202,92 @@ def lsh_candidate_pairs(
     )
 
 
+def _lsh_r_case_sql() -> str:
+    """The band-width knob, as the SAME integer CASE both engines run."""
+    return (
+        "CASE WHEN count(*) < 1000 THEN 1 "
+        "WHEN count(*) < 1000000 THEN 2 ELSE 4 END"
+    )
+
+
+_SIG_COLS = ", ".join(f"mh{i}" for i in range(_N_MINHASH))
+
+
 @query(
     "d03_minhash_lsh_pairs",
     oracle=_MINHASH_SQL
-    + """
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh0 AS band_key
-    FROM mh a JOIN mh b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
+    + f""",
+    knob AS (SELECT {_lsh_r_case_sql()} AS r FROM documents),
+    sigs AS (SELECT doc_id, [{_SIG_COLS}] AS sig FROM mh),
+    banded AS (
+      SELECT doc_id, CAST(j AS INT) AS band_id,
+             array_to_string(
+               list_transform(sig[CAST(j * r + 1 AS INT):CAST(j * r + r AS INT)],
+                              x -> CAST(x AS VARCHAR)), ',') AS bkey
+      FROM sigs, knob, generate_series(0, {_N_MINHASH - 1}) AS g(j)
+      WHERE j < {_N_MINHASH} // r
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS INT) AS n_bands
+    FROM cand GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
     """,
     category="dedup",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH banding: group signatures by band key, emit pairs per bucket.
+    """LSH banding with DATA-DERIVED band structure (round 9, VERDICT r8
+    #2): the signature's 8 minhashes split into b = 8/r bands
+    of r rows, where r comes from the corpus row count via a broadcast
+    1-row knob join (the same derived-knob posture as the IVF family's
+    k = ⌈√n⌉): r=1 under 1k docs, r=2 under 1M, r=4 beyond. Rationale:
+    two UNRELATED docs collide on an r-row band with probability
+    ≈ j_bg^r (j_bg = background shingle-set Jaccard), so expected bucket
+    load per doc is n·j_bg^r — a FIXED r that is fine at 60k docs is
+    quadratic blowup at 10⁹; growing r with n keeps bucket loads
+    bounded, while b = 8/r bands keep near-dup recall ≥ 1-(1-j^r)^b
+    (j=0.9, r=4, b=2 → 0.88; r=2, b=4 → 0.999). Pinned at two volumes
+    by tests/test_dedup.py::test_lsh_planted_duplicate_recall.
 
-    Candidate generation is O(pairs-in-bucket), never O(n²), and buckets
-    above ``MAX_LSH_BUCKET`` are dropped before any array materializes
-    (see ``lsh_candidate_pairs``). The cap sits far above every fixture
-    bucket, so the oracle (which has no cap) is unchanged.
+    Candidate generation stays O(pairs-in-bucket), never O(n²): per
+    band, buckets above ``MAX_LSH_BUCKET`` are dropped before any array
+    materializes (see ``lsh_candidate_pairs``); a pair colliding in
+    several bands is collapsed by the final groupBy, whose n_bands count
+    is the agreement strength (a free LSH-similarity estimate).
     """
+    d = load_table(spark, sf, "documents")
+    knob = d.groupBy().count().select(
+        F.when(F.col("count") < 1000, 1)
+        .when(F.col("count") < 1000000, 2)
+        .otherwise(4)
+        .alias("r")
+    )
     mh = _shingled(spark, sf).groupBy("doc_id").agg(*_minhash_exprs())
-    return lsh_candidate_pairs(mh, "mh0").orderBy("doc_a", "doc_b")
+    sig = F.array(*[F.col(f"mh{i}") for i in range(_N_MINHASH)])
+    banded = (
+        mh.select("doc_id", sig.alias("sig"))
+        .crossJoin(F.broadcast(knob))  # 1-row knob: lazy, no driver count
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, int({_N_MINHASH} / r) - 1),"
+                    " j -> concat(cast(j AS string), ':',"
+                    "  array_join(transform(slice(sig, j * r + 1, r),"
+                    "             x -> cast(x AS string)), ',')))"
+                )
+            ).alias("band"),
+        )
+    )
+    return (
+        lsh_candidate_pairs(banded, "band")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 _SIMHASH_BITS = 32
@@ -277,17 +355,28 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
     "d05_ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
+    knob AS (
+      SELECT GREATEST(1, (32 * (max(n_chars) - min(n_chars) + 1)
+                          + count(*) - 1) // count(*)) AS w
+      FROM documents
+    ),
     docsets AS (
-      SELECT s.doc_id, d.lang, d.n_chars // 100 AS bucket,
+      SELECT s.doc_id, d.lang, d.n_chars // k.w AS bucket,
              list_sort(list(s.shingle)) AS shset
-      FROM sh s JOIN documents d ON s.doc_id = d.doc_id
-      GROUP BY s.doc_id, d.lang, d.n_chars // 100
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id, knob k
+      GROUP BY s.doc_id, d.lang, d.n_chars // k.w
+    ),
+    cand AS (
+      SELECT doc_id, lang, bucket, shset,
+             unnest([bucket, bucket + 1]) AS block
+      FROM docsets
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.shset, b.shset)) * 1.0
                  / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
-    FROM docsets a JOIN docsets b
-      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    FROM cand a JOIN cand b
+      ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id
+         AND a.block = GREATEST(a.bucket, b.bucket)
     WHERE len(list_intersect(a.shset, b.shset)) * 1.0
           / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.01
     ORDER BY doc_a, doc_b
@@ -297,20 +386,48 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
 def d05(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram Jaccard near-dup: blocked pairs → shingle-set overlap.
 
-    Blocking on (lang, size-bucket) bounds the pair count; the 0.01
-    threshold marks "shares ≥ 2 shingles" on this synthetic corpus.
+    Round 9 (VERDICT r8 #2): the length-bucket width is DATA-DERIVED —
+    ``w = max(1, ceil(32 · length_range / n))`` from a broadcast 1-row
+    knob (pure int64 arithmetic, identical in the oracle), so the
+    expected block size stays ~32 docs at ANY corpus size: a FIXED
+    width means blocks grow ∝ n and within-block pair work ∝ n² — the
+    fixed-knob quadratic lesson (SURVEY §7.4) applied to blocking.
+    Boundary recall: each doc is emitted into its own bucket AND the
+    next (still an equi-join), with ``block = greatest(bucket_a,
+    bucket_b)`` collapsing the double-match, so two near-dups straddling
+    a bucket edge are no longer silently missed — pinned by
+    tests/test_dedup.py::test_jaccard_planted_duplicate_recall.
+
+    The 0.01 threshold marks "shares ≥ 2 shingles" on this synthetic
+    corpus.
     """
     sh = _shingled(spark, sf)
-    d = load_table(spark, sf, "documents").select(
-        "doc_id", "lang", (F.col("n_chars") / 100).cast("int").alias("bucket")
+    docs = load_table(spark, sf, "documents")
+    knob = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("n_chars") - F.min("n_chars") + 1).alias("rng"),
+    ).select(
+        F.greatest(
+            F.lit(1).cast("long"), F.expr("(32 * rng + n - 1) div n")
+        ).alias("w")
+    )
+    d = (
+        docs.crossJoin(F.broadcast(knob))  # 1-row knob: lazy, no count()
+        .select("doc_id", "lang", F.expr("n_chars div w").alias("bucket"))
     )
     docsets = (
         sh.join(d, "doc_id")
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.sort_array(F.collect_list("shingle")).alias("shset"))
     )
-    a = docsets.alias("a")
-    b = docsets.alias("b")
+    # two-key emission: a doc lands in its bucket and the next, so pairs
+    # one apart still meet on an EQUI key; greatest() dedupes same-bucket
+    # pairs that would otherwise match twice
+    cand = docsets.withColumn(
+        "block", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset")))
     union = F.size(F.array_union(F.col("a.shset"), F.col("b.shset")))
     jac = inter * 1.0 / union
@@ -318,8 +435,12 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("a.block")
+                == F.greatest(F.col("a.bucket"), F.col("b.bucket"))
+            ),
         )
         .where(jac >= 0.01)
         .select(
@@ -334,15 +455,15 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "d06_embedding_near_dup",
     oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nv
+      FROM e0 WHERE sqrt(list_dot_product(v, v)) > 0
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+           round(list_dot_product(a.v, b.v) / (a.nv * b.nv), 4) AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v))
-             * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= 0.3
     ORDER BY vec_a, vec_b
     """,
     category="dedup",
@@ -366,7 +487,11 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    e = e.withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # zero-norm vectors never pair (engine contract — ANSI mode would
+    # abort the divide; same WHERE nv > 0 guard in the oracle)
+    e = e.withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nv") > 0
+    )
     if pair_kernel(sf) == "np":
         # round-8 vectorized pair stage (operators/vector.py): identical
         # floats/fold order to the join shape, bit parity by construction
