@@ -38,6 +38,9 @@ EAGER_BY_CONTRACT = {
     "m02_streaming_score_parity",  # trains + runs an availableNow stream
     "d07_dup_clusters",
     "x07_components_star",
+    # q107: compaction IS a write job — the entry fragments a slice,
+    # rewrites it via io.compact_files, and reports facets of the copy
+    "q107_compaction_maintenance",
 }
 
 
