@@ -33,6 +33,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from final_project_big_data_spark.multimodal.jpeg import (
+    JPEG_MAGIC,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_header,
+)
+
 MAGIC = b"FAKE"
 
 META_SCHEMA = (
@@ -117,6 +124,13 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                     try:
                         w, h, c = _png_header(b)
                         fmt = "png"
+                    except ValueError:
+                        w = h = c = 0
+                        fmt = "unknown"
+                elif b[:3] == JPEG_MAGIC:
+                    try:
+                        w, h, c = jpeg_header(b)
+                        fmt = "jpeg"
                     except ValueError:
                         w = h = c = 0
                         fmt = "unknown"
@@ -389,6 +403,77 @@ def synth_png_media(spark: SparkSession, n: int = 48) -> DataFrame:
     return base.mapInPandas(gen, schema="media_id bigint, blob binary")
 
 
+def synth_jpeg_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic REAL-JPEG table: (media_id, blob). Greyscale pixels
+    are the md5-chain payload bytes (the mm02 chain) written through the
+    vendored baseline encoder (:mod:`multimodal.jpeg`) at quality 95 —
+    lossy, but boundedly so (measured max |err| = 7 per sample over this
+    noise corpus), which is what the mm07 facets assert after a real
+    decode."""
+    from final_project_big_data_spark.session import ship_package
+
+    ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            blobs = []
+            for i in ids:
+                w, h = 8 + i % 5, 6 + i % 4
+                px = list(_payload(i, w * h))
+                blobs.append(encode_jpeg(w, h, px, "L", quality=95))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    base = spark.range(n).withColumnRenamed("id", "media_id").repartition(4)
+    return base.mapInPandas(gen, schema="media_id bigint, blob binary")
+
+
+def jpeg_roundtrip_facets(media: DataFrame) -> DataFrame:
+    """Decode each (vendored-encoder) JPEG blob and compare against the
+    regenerated md5-chain payload: dims from the real SOF0 header plus
+    two decode-quality facets an oracle can falsify as literals —
+    n_px_ok (decoded sample count == width·height) and err_bounded
+    (max |decoded−original| ≤ 8: the measured q95 bound over the
+    md5-noise corpus is 7, while a Huffman/zigzag/IDCT defect lands
+    ~100+)."""
+
+    def facets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from final_project_big_data_spark.multimodal.jpeg import (
+            decode_jpeg as _dec,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                out = _dec(bytes(blob))
+                want = _payload(mid, out["width"] * out["height"])
+                got = out["pixels"]
+                err = max(
+                    (abs(a - b) for a, b in zip(want, got)), default=0
+                )
+                rows.append(
+                    (
+                        mid,
+                        out["width"],
+                        out["height"],
+                        len(got) == out["width"] * out["height"],
+                        err <= 8,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_px_ok", "err_bounded",
+                ],
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        facets,
+        schema="media_id bigint, width int, height int, "
+        "n_px_ok boolean, err_bounded boolean",
+    )
+
+
 # ------------------------------------------------ vendored WAV codec (stdlib)
 #
 # PCM WAV needs no third-party lib at all: the stdlib ``wave`` module
@@ -533,14 +618,15 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 def decode_image(blob: bytes) -> dict:
     """Real image decode.
 
-    Uncompressed 24-bit BMP (round 6) and 8-bit grey/RGB non-interlaced
-    PNG (round 7) decode in-sandbox via the vendored pure-Python parsers
-    — the live branches of this seam need no PIL; every other format
-    requires PIL (a full cluster image), and raises
+    Uncompressed 24-bit BMP (round 6), 8-bit grey/RGB non-interlaced
+    PNG (round 7) and baseline sequential JPEG (round 9) decode
+    in-sandbox via the vendored pure-Python parsers — the live branches
+    of this seam need no PIL; anything else (progressive JPEG, palette
+    PNG, ...) requires PIL (a full cluster image), and raises
     ``NotImplementedError`` here. The Spark-side plumbing (batching,
     schema, partitioning) is identical whichever decoder runs —
-    tests/test_multimodal.py executes the BMP/PNG paths unconditionally
-    and the PIL path wherever PIL imports.
+    tests/test_multimodal.py executes the BMP/PNG/JPEG paths
+    unconditionally and the PIL paths wherever PIL imports.
     """
     b = bytes(blob)
     if b[:2] == BMP_MAGIC:
@@ -553,6 +639,11 @@ def decode_image(blob: bytes) -> dict:
             return decode_png(b)
         except ValueError:
             pass  # unsupported PNG variant → PIL below
+    if b[:3] == JPEG_MAGIC:
+        try:
+            return decode_jpeg(b)
+        except ValueError:
+            pass  # non-baseline JPEG → PIL below
     try:
         from PIL import Image
     except ImportError as exc:
@@ -584,8 +675,8 @@ def decode_intensities(blob: bytes) -> list[int]:
     b = bytes(blob)
     if b[:2] == BMP_MAGIC:
         return [v for px in decode_bmp(b)["pixels"] for v in px]
-    if b[:8] == PNG_MAGIC:
-        out = decode_png(b)
+    if b[:8] == PNG_MAGIC or b[:3] == JPEG_MAGIC:
+        out = decode_png(b) if b[:8] == PNG_MAGIC else decode_jpeg(b)
         if out["mode"] == "L":
             return list(out["pixels"])
         return [v for px in out["pixels"] for v in px]

@@ -23,8 +23,10 @@ from final_project_big_data_spark.multimodal.binaryops import (
     extract_audio_metadata,
     extract_features,
     extract_metadata,
+    jpeg_roundtrip_facets,
     sample_frames,
     synth_audio,
+    synth_jpeg_media,
     synth_media,
     synth_png_media,
 )
@@ -279,3 +281,30 @@ def mm06(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm07_jpeg_roundtrip_facets",
+    oracle=f"""
+    SELECT CAST(range AS BIGINT) AS media_id,
+           CAST(8 + range % 5 AS INT) AS width,
+           CAST(6 + range % 4 AS INT) AS height,
+           TRUE AS n_px_ok,
+           TRUE AS err_bounded
+    FROM range({N_MEDIA}) ORDER BY media_id
+    """,
+    category="multimodal",
+)
+def mm07(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG encode→decode over distributed blobs (round 9 — the
+    vendored baseline codec, multimodal/jpeg.py): pixels are the mm02
+    md5-chain payload, written at quality 95 and decoded back through
+    the full baseline pipeline (DHT Huffman → dequant → IDCT). JPEG is
+    lossy, so unlike mm06's bit-exact PNG arithmetic the oracle checks
+    the SOF0 dims arithmetically and falsifies two literal facets:
+    n_px_ok (decode produced width·height samples) and err_bounded
+    (max |decoded−payload| ≤ 8 — the measured q95 quantization bound
+    over this noise corpus is 7; a Huffman/IDCT/zigzag defect blows
+    ~100+ past it)."""
+    media = synth_jpeg_media(spark, n=N_MEDIA)
+    return jpeg_roundtrip_facets(media).orderBy("media_id")

@@ -348,10 +348,17 @@ def test_transform_with_state_running_totals(spark, replay_path, events_batch):
     """transformWithStateInPandas accumulator == batch groupBy totals ==
     the applyInPandasWithState twin. Requires the RocksDB state store
     (scoped to this test; the default HDFS-backed store rejects the new
-    API) and google.protobuf (the API's state-server wire protocol) —
-    absent in this container, so the test skips here and runs on a full
-    cluster image."""
-    pytest.importorskip("google.protobuf.descriptor")
+    API) and google.protobuf (the API's state-server wire protocol).
+    DUAL-PATH (round 9, no skip): without protobuf the builder's
+    documented fail-fast guard is the executed contract — an actionable
+    EnvironmentError at build time, never a mid-query executor crash;
+    with protobuf the full e2e runs (cluster images)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(EnvironmentError, match="protobuf"):
+            P.user_running_totals_tws(P.file_stream(spark, replay_path))
+        return
     saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
