@@ -28,15 +28,68 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def save_ivf_index(spark: SparkSession, sf: str, path: str) -> None:
+def _quantized_postings(assigned: DataFrame) -> DataFrame:
+    """The s05 int8 scalar-quantization codec as a STORAGE layout:
+    (vec_id, mn, sc, q, centroid_id) with the per-dim level array
+    shifted to tinyint — 1 byte per dimension in the persisted postings
+    instead of 8 (the serving-layout payoff; measured on-disk ratio
+    pinned by tests/test_indexing.py). The grid is IDENTICAL to s05's
+    (``floor((x-mn)/sc + 0.5)``), so the dequantized floats reproduce
+    s05-style scoring bit-for-bit. sc == 0 (constant vector) stores
+    level 0 for every dim — dequant ``mn + (q+128)·sc`` then reproduces
+    mn exactly without the ANSI divide-by-zero the unguarded grid would
+    hit."""
+    mn, mx = F.array_min("v"), F.array_max("v")
+    base = assigned.select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        mn.alias("mn"),
+        ((mx - mn) / 255.0).alias("sc"),
+    )
+    q = F.when(
+        F.col("sc") == 0,
+        F.transform("v", lambda _: F.lit(-128).cast("byte")),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: (
+                F.floor((x - F.col("mn")) / F.col("sc") + 0.5) - 128
+            ).cast("byte"),
+        )
+    )
+    return base.select("vec_id", "mn", "sc", q.alias("q"), "centroid_id")
+
+
+def dequantize_expr():
+    """array<double> reconstruction from (q, mn, sc): the float sequence
+    ``mn + level·sc`` is the exact grid s05 scores on (levels round-trip
+    int8 storage losslessly, so the doubles are bit-identical)."""
+    return F.transform(
+        "q",
+        lambda c: F.col("mn") + (c.cast("double") + 128.0) * F.col("sc"),
+    )
+
+
+def save_ivf_index(
+    spark: SparkSession, sf: str, path: str, quantize: bool = False
+) -> None:
     """Train the IVF quantizer on ``sf``'s embeddings (the same seeded
-    init + one Lloyd pass as s03) and persist the three index frames."""
+    init + one Lloyd pass as s03) and persist the three index frames.
+    ``quantize=True`` stores the postings' vectors as int8 levels
+    (s05's codec — the real serving layout: 1 byte/dim inverted lists,
+    dequantized at load into the identical scoring floats)."""
     from final_project_big_data_spark.queries.similarity import _ivf_assigned
 
     _, cents, assigned, kdf = _ivf_assigned(spark, sf)
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    postings = (
+        _quantized_postings(assigned)
+        if quantize
+        else assigned.select("vec_id", "v", "nv", "centroid_id")
+    )
     (
-        assigned.select("vec_id", "v", "nv", "centroid_id")
+        postings
         # co-locate each inverted list before the partitioned write: without
         # this, every one of the ~32 writer tasks drops a file into every
         # centroid directory (k×tasks small files — measured 5× slower
@@ -53,9 +106,17 @@ def load_ivf_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(centroids, postings, meta) back as DataFrames; postings scans
-    prune to the probed centroid_id partitions."""
+    prune to the probed centroid_id partitions. Quantized postings
+    (int8 ``q`` column) dequantize lazily at load — downstream plans
+    are identical either way."""
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     assigned = spark.read.parquet(os.path.join(path, "postings"))
+    if "q" in assigned.columns:
+        from final_project_big_data_spark.operators.vector import dot_fold
+
+        assigned = assigned.select(
+            "vec_id", dequantize_expr().alias("v"), "centroid_id"
+        ).withColumn("nv", F.sqrt(dot_fold(F.col("v"), F.col("v"))))
     kdf = spark.read.parquet(os.path.join(path, "meta"))
     return cents, assigned, kdf
 
@@ -74,3 +135,35 @@ def ivf_topk_with_index(
         "vec_id", "v", "nv"
     )
     return _ivf_probe(probes_en, cents, assigned, kdf)
+
+
+def save_lsh_index(spark: SparkSession, sf: str, path: str) -> None:
+    """Persist s02's LSH hash tables: the signed corpus
+    (vec_id, v, nv, bucket) partitioned by bucket — the same
+    build-once/query-forever posture as the IVF index. With 2^planes
+    buckets, a multiprobe query touches 1 + planes bucket directories
+    and the scan PRUNES to them (partition pruning); the per-bucket
+    repartition applies the same one-file-per-list lesson as the IVF
+    postings write."""
+    from final_project_big_data_spark.queries.similarity import _lsh_signed
+
+    (
+        _lsh_signed(spark, sf)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "tables"))
+    )
+
+
+def lsh_topk_with_index(
+    spark: SparkSession, path: str, n_queries: int
+) -> DataFrame:
+    """ANN top-k for the first ``n_queries`` corpus vectors against the
+    persisted LSH hash tables — s02's exact query plan over the loaded
+    frame (shared ``_lsh_probe``), so results are row-identical to the
+    fresh build (pinned by tests/test_indexing.py)."""
+    from final_project_big_data_spark.queries.similarity import _lsh_probe
+
+    signed = spark.read.parquet(os.path.join(path, "tables"))
+    return _lsh_probe(signed.filter(F.col("vec_id") < n_queries), signed)

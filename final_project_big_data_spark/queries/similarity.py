@@ -161,18 +161,10 @@ def _s02_sql() -> str:
     """
 
 
-@query("s02_lsh_ann_topk", oracle=_s02_sql(), category="similarity")
-def s02(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed ANN: random-hyperplane signature → multiprobe bucket
-    equi-join → exact cosine re-rank within candidates.
-
-    Probe side explodes to its own bucket plus every 1-bit-flip neighbor
-    (multiprobe), so the candidate join is an equi-join on bucket — the
-    O(n²) → O(n·probes/B · n) scale path; no vector ever crosses buckets.
-    Verified by tests/test_similarity.py recall@k against s01 AND, since
-    the hyperplanes are seeded constants, a full DuckDB value-hash oracle
-    that replays signature → multiprobe → re-rank.
-    """
+def _lsh_signed(spark: SparkSession, sf: str) -> DataFrame:
+    """The LSH hash table: (vec_id, v, nv, bucket) with the seeded
+    random-hyperplane signature. Shared by s02 (fresh build) and
+    ``operators.ivf_index.save_lsh_index`` (persisted hash tables)."""
     e = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -190,10 +182,17 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0),
         lambda acc, bit: acc * 2 + bit,
     )
-    signed = e.withColumn("bucket", sig).withColumn(
+    return e.withColumn("bucket", sig).withColumn(
         "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
-    # multiprobe: own bucket + all 1-bit flips
+
+
+def _lsh_probe(probes_signed: DataFrame, signed: DataFrame) -> DataFrame:
+    """The query side of LSH ANN, shared by s02 and the persisted-index
+    path: explode each probe row to its own bucket plus every 1-bit-flip
+    neighbor (multiprobe), equi-join the hash table on bucket, exact
+    cosine re-rank to top-k. ``probes_signed`` must carry
+    (vec_id, v, nv, bucket)."""
     probes = F.array(
         F.col("bucket"),
         *[
@@ -201,22 +200,17 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(_N_PLANES)
         ],
     )
-    probed = (
-        signed.filter(F.col("vec_id") < _N_QUERIES)
-        .withColumn("probe", F.explode(probes))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nv").alias("nq"),
-            "probe",
-        )
+    probed = probes_signed.withColumn("probe", F.explode(probes)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        "probe",
     )
-    b = signed
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     return (
         probed.join(
-            b,
+            signed,
             (F.col("probe") == F.col("bucket"))
             & (F.col("query_id") != F.col("vec_id")),
         )
@@ -230,6 +224,24 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cs", 4).alias("cos_sim"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query("s02_lsh_ann_topk", oracle=_s02_sql(), category="similarity")
+def s02(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signature → multiprobe bucket
+    equi-join → exact cosine re-rank within candidates.
+
+    Probe side explodes to its own bucket plus every 1-bit-flip neighbor
+    (multiprobe), so the candidate join is an equi-join on bucket — the
+    O(n²) → O(n·probes/B · n) scale path; no vector ever crosses buckets.
+    Verified by tests/test_similarity.py recall@k against s01 AND, since
+    the hyperplanes are seeded constants, a full DuckDB value-hash oracle
+    that replays signature → multiprobe → re-rank. The signature and
+    probe stages are shared with the persisted-hash-table deployment
+    shape (``operators.ivf_index.save_lsh_index``).
+    """
+    signed = _lsh_signed(spark, sf)
+    return _lsh_probe(signed.filter(F.col("vec_id") < _N_QUERIES), signed)
 
 
 # IVF sizing (round 5, found by the guarded 100× sweep): a FIXED centroid

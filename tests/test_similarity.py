@@ -281,6 +281,83 @@ def test_persisted_ivf_index_matches_fresh(spark, sf_dir, tmp_path):
     assert stored == fresh
 
 
+def test_persisted_lsh_index_matches_fresh(spark, sf_dir, tmp_path):
+    """Round 9 (VERDICT r8 #5): the persisted LSH hash tables must
+    return EXACTLY the fresh s02 rows — both paths share _lsh_probe and
+    the signed table round-trips parquet bit-exactly."""
+    from final_project_big_data_spark.operators.ivf_index import (
+        lsh_topk_with_index,
+        save_lsh_index,
+    )
+    from final_project_big_data_spark.queries import similarity as S
+
+    fresh = all_specs()["s02_lsh_ann_topk"].builder(spark, sf_dir).collect()
+    idx = str(tmp_path / "lsh_index")
+    save_lsh_index(spark, sf_dir, idx)
+    stored = lsh_topk_with_index(spark, idx, S._N_QUERIES).collect()
+    assert stored == fresh
+
+
+def test_quantized_ivf_index_matches_dequantized_scoring(
+    spark, sf_dir, tmp_path
+):
+    """Round 9 (VERDICT r8 #5): the int8-quantized persisted postings
+    (s05's codec composed with the IVF layout) must be (a) row-identical
+    to running _ivf_probe over the float index's postings passed through
+    the SAME dequantization grid — i.e. quantization is the only delta,
+    and int8 storage is lossless with respect to it; (b) near the float
+    index in recall; (c) materially smaller on disk (the serving-layout
+    point: 1 byte/dim vs 8)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from final_project_big_data_spark.operators import ivf_index as IX
+    from final_project_big_data_spark.operators.vector import dot_fold
+    from final_project_big_data_spark.queries import similarity as S
+
+    fidx = str(tmp_path / "ivf_float")
+    qidx = str(tmp_path / "ivf_q8")
+    IX.save_ivf_index(spark, sf_dir, fidx)
+    IX.save_ivf_index(spark, sf_dir, qidx, quantize=True)
+
+    got = IX.ivf_topk_with_index(spark, qidx, S._N_QUERIES).collect()
+
+    # expected: float postings → same int8 grid → dequant → same probe
+    cents, assigned, kdf = IX.load_ivf_index(spark, fidx)
+    requant = IX._quantized_postings(
+        assigned.select("vec_id", "v", "centroid_id")
+    )
+    dq = requant.select(
+        "vec_id", IX.dequantize_expr().alias("v"), "centroid_id"
+    ).withColumn("nv", F.sqrt(dot_fold(F.col("v"), F.col("v"))))
+    probes = dq.filter(F.col("vec_id") < S._N_QUERIES).select(
+        "vec_id", "v", "nv"
+    )
+    want = S._ivf_probe(probes, cents, dq, kdf).collect()
+    assert got == want
+
+    # recall vs the float index
+    truth: dict[int, set[int]] = {}
+    for r in IX.ivf_topk_with_index(spark, fidx, S._N_QUERIES).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for r in got if r.neighbor_id in truth.get(r.query_id, set())
+    )
+    recall = hits / max(1, sum(len(v) for v in truth.values()))
+    assert recall >= 0.8, f"recall@k vs float index = {recall:.3f}"
+
+    def _bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _d, files in os.walk(os.path.join(p, "postings"))
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+
+    assert _bytes(qidx) < 0.5 * _bytes(fidx), (_bytes(qidx), _bytes(fidx))
+
+
 def test_pair_kernel_null_and_nan_edges(spark, sf_dir):
     """Edge rows the fixture lacks (round-9, per ADVICE): a NULL block
     key must pair with nothing (the join's equality predicate drops it;
