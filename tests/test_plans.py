@@ -87,8 +87,26 @@ def test_hash_aggregate_has_partial_stage(spark, sf_dir):
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
+    """q26's physical top-k (round 9, VERDICT r8 #8): the plan must be
+    TakeOrderedAndProject — per-partition heap + k-row driver merge —
+    with NO global sort and NO range exchange anywhere (a stray
+    rangepartitioning would resurrect the full-sort cliff at volume).
+    When the 1000× probe fixture is on disk, the same pins are asserted
+    against the EXECUTED (AQE-final) plan at that volume, so the claim
+    is not planning-time-only."""
+    import os
+
     p = plan(spark, "q26_topk", sf_dir)
     assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p, p
+    assert "\n   Sort " not in p and "(Sort " not in p, p
+    big = "/tmp/spark_graft_scale_probe_x1000"
+    if os.path.isdir(os.path.join(big, "orders.parquet")):
+        df = SPECS["q26_topk"].builder(spark, big)
+        df.write.mode("overwrite").format("noop").save()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in executed, executed
+        assert "rangepartitioning" not in executed, executed
 
 
 def test_semi_anti_join_physical(spark, sf_dir):
