@@ -202,8 +202,24 @@ def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def dedup_stream(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup on event_id within the watermark (C14)."""
-    return df.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Streaming exact dedup on event_id within the watermark (C14).
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: with the
+    event-time column absent from the key subset, ``dropDuplicates``
+    keeps every key's state FOREVER — the watermark only drops late
+    input, it never purges dedup state. Round 9's 100× volume probe
+    measured the difference directly (tools/streaming_volume_probe.py,
+    10M events): plain dropDuplicates retained 9.1M state rows / 1.8 GB
+    — linear in events ever seen, the unbounded-state hazard at
+    100 TB — while the WithinWatermark variant holds only the keys
+    inside the watermark horizon. The documented trade: a duplicate
+    arriving more than ``watermark`` after its first sighting is
+    re-admitted — which is the operator's stated contract ("within the
+    watermark") and the only state-bounded exact-dedup there is.
+    """
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def purchase_click_join(df: DataFrame, other: DataFrame,

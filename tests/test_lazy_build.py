@@ -41,6 +41,9 @@ EAGER_BY_CONTRACT = {
     # q107: compaction IS a write job — the entry fragments a slice,
     # rewrites it via io.compact_files, and reports facets of the copy
     "q107_compaction_maintenance",
+    # s06: the persisted-LSH serving path — the index build is a write
+    # job by definition; the query side stays the lazy _lsh_probe plan
+    "s06_persisted_lsh_topk",
 }
 
 

@@ -69,7 +69,9 @@ def main() -> None:
                 .write.mode("overwrite")
                 .parquet(os.path.join(replay, f"batch_{i}"))
             )
-    n_rows = spark.read.parquet(replay).count()
+    n_rows = (
+        spark.read.option("recursiveFileLookup", "true").parquet(replay).count()
+    )
 
     ladder = {
         "tumbling_counts": P.tumbling_counts,
