@@ -918,3 +918,96 @@ def d11(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_EDIT_T = 80  # absolute edit-distance threshold (~5th pct of blocked pairs)
+
+
+@query(
+    "d12_edit_distance_pairs",
+    oracle=f"""
+    WITH knob AS (
+      SELECT GREATEST(1, (32 * (max(n_chars) - min(n_chars) + 1)
+                          + count(*) - 1) // count(*)) AS w
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang, n_chars, text, n_chars // k.w AS bucket
+      FROM documents, knob k
+    ),
+    cand AS (
+      SELECT doc_id, lang, n_chars, text, bucket,
+             unnest([bucket, bucket + 1]) AS block
+      FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+    FROM cand a JOIN cand b
+      ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id
+         AND a.block = GREATEST(a.bucket, b.bucket)
+         AND abs(a.n_chars - b.n_chars) <= {_EDIT_T}
+    WHERE levenshtein(a.text, b.text) <= {_EDIT_T}
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+)
+def d12(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup pairs: blocked candidates → BANDED
+    levenshtein (round 9) — the character-level complement to d05's
+    token-set Jaccard (catches shuffled-word or heavy-punctuation
+    near-copies that shingles miss, and vice versa).
+
+    Scale shape, three nested prunes so the O(len²) DP only ever runs
+    on plausible pairs: (1) the d05 blocking scheme verbatim —
+    data-derived bucket width ``w = max(1, ceil(32·range/n))`` keeps
+    expected blocks ~32 docs at any corpus size, adjacent-bucket
+    emission keeps boundary recall, the join stays an equi-join;
+    (2) the length filter ``|len_a − len_b| ≤ T`` (a NECESSARY condition
+    for distance ≤ T) cuts pairs before any text comparison;
+    (3) Spark's threshold form ``levenshtein(a, b, T)`` runs the BANDED
+    DP — O(len·T) instead of O(len²), returning -1 past T so distant
+    pairs exit early. The oracle runs DuckDB's full levenshtein with
+    the same predicates: identical surviving pairs, identical distances
+    (values ≤ T are exact in both forms).
+    """
+    docs = load_table(spark, sf, "documents")
+    knob = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("n_chars") - F.min("n_chars") + 1).alias("rng"),
+    ).select(
+        F.greatest(
+            F.lit(1).cast("long"), F.expr("(32 * rng + n - 1) div n")
+        ).alias("w")
+    )
+    d = docs.crossJoin(F.broadcast(knob)).select(
+        "doc_id", "lang", "n_chars", "text",
+        F.expr("n_chars div w").alias("bucket"),
+    )
+    cand = d.withColumn(
+        "block", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), _EDIT_T)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("a.block")
+                == F.greatest(F.col("a.bucket"), F.col("b.bucket"))
+            )
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= _EDIT_T
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") != -1)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -465,10 +465,18 @@ def curate_docs(df: DataFrame) -> DataFrame:
     fingerprint, `queries/curation.score_docs`) then stateful streaming
     dedup on the normalized fingerprint (keep first arrival).
 
-    State grows with distinct fingerprints; in production the stream is
-    watermarked on an ingest-time column so fingerprint state ages out
-    (same pattern as ``dedup_stream``). Batch equivalence: with doc_id-
-    ordered replay this equals p01_corpus_curation minus the final sort.
+    State note (sharpened after round 9's volume probe caught the
+    unbounded-state class in ``dedup_stream``): corpus dedup is
+    semantically GLOBAL — a duplicate must never be re-admitted — so
+    bounded watermark state is NOT an option here and this operator's
+    state grows with distinct fingerprints by design. The 100 TB
+    posture is therefore different from dedup_stream's: keep the
+    in-state window short and move history OUT of the state store — a
+    ``foreachBatch`` anti-join against the persisted fingerprint table
+    (the d08 Bloom/exact posture), which scales as a parquet-side
+    equi-join instead of executor memory. Batch equivalence: with
+    doc_id-ordered replay this equals p01_corpus_curation minus the
+    final sort.
     """
     from final_project_big_data_spark.queries.curation import score_docs
 
