@@ -134,3 +134,12 @@ def test_max_partition_bytes_row_groups_bound_split_count(tmp_path):
     size = _largest_table_bytes(str(tmp_path))
     got = sized_max_partition_bytes(str(tmp_path), cores=32)
     assert got == max(4 * 1024 * 1024, size // 8)
+
+
+def test_codegen_cache_sized_for_multi_query_workloads(spark):
+    """Round-9 regression pin: the whole-stage-codegen class cache must
+    stay raised (default 100 entries thrashes when a dozen distinct
+    queries cycle — recompilation inside measured/hot executions,
+    eviction-order-dependent; SCALE.md round 9 measured the 11-query
+    headline set 74% slower under the default)."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
