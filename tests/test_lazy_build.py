@@ -41,9 +41,10 @@ EAGER_BY_CONTRACT = {
     # q107: compaction IS a write job — the entry fragments a slice,
     # rewrites it via io.compact_files, and reports facets of the copy
     "q107_compaction_maintenance",
-    # s06: the persisted-LSH serving path — the index build is a write
-    # job by definition; the query side stays the lazy _lsh_probe plan
+    # s06/s07: the persisted-index serving paths — the index build is a
+    # write job by definition; the query sides stay the lazy probe plans
     "s06_persisted_lsh_topk",
+    "s07_persisted_quantized_ivf",
 }
 
 
