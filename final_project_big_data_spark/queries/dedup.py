@@ -1,21 +1,31 @@
 """Deduplication operators for an LLM training-data pipeline (SURVEY C20+).
 
-Five families over ``documents`` / ``embeddings``:
+Families over ``documents`` / ``embeddings``:
 
-- exact (hash-groupBy)
-- MinHash + LSH banding (shingle → md5 minhash → band key → bucket join)
+- exact (hash-groupBy), Bloom-filter (d08), chunk-level (d09)
+- MinHash + LSH banding (shingle → md5 minhash → band keys → bucket join)
 - SimHash (per-bit majority over md5-derived 32-bit word hashes)
-- n-gram Jaccard (blocked pair generation + set overlap)
-- embedding-cosine near-dup (blocked by label)
+- n-gram Jaccard (blocked pairs, d05) and prefix-filter Jaccard (d11)
+- edit-distance pairs (d12: banded levenshtein over the same blocking)
+- embedding-cosine near-dup (d06) and SemDeDup on IVF clusters (d10)
+- duplicate clusters via connected components (d07)
 
-Everything is built-in-function Spark (no Python in the hot path), and every
-query here is *fully* oracle-checked: both engines compute the identical
-md5-based hashes, so even MinHash/SimHash hash-match DuckDB.
+Everything is built-in-function Spark (no Python in the hot path beyond
+the size-switched Arrow pair kernel), and every query here is *fully*
+oracle-checked: both engines compute the identical md5-based hashes, so
+even MinHash/SimHash hash-match DuckDB.
 
-Scale posture (100 TB): no O(n²) anywhere global — pair generation is always
-blocked (LSH band key, (lang, size-bucket), label), i.e. an equi-join that
-shuffles on the block key. The fixture's band/block sizes are tuned for the
-synthetic data; at scale the same plans hold with more bands/buckets.
+Scale posture (100 TB): no O(n²) anywhere global — pair generation is
+always blocked (LSH band key, (lang, size-bucket), label, centroid),
+i.e. an equi-join that shuffles on the block key — and since round 9
+the block KNOBS are data-derived, identically in the oracles: d03's
+bands/rows come from corpus count (r=1 <1k docs, 2 <1M, 4 beyond —
+bucket load ≈ n·j_bg^r needs r growing with n), and d05/d12's length
+bucket width w = max(1, ceil(32·range/n)) keeps expected blocks ~32
+docs at any volume (adjacent-bucket emission preserves boundary
+recall). Planted-duplicate recall is pinned at two volumes in
+tests/test_dedup.py; the r=4 regime is oracle-checked at 1.25M docs
+(tools/lsh_knob_probe.py).
 """
 
 from __future__ import annotations

@@ -1,16 +1,22 @@
 """Similarity search over embeddings (SURVEY C21+).
 
-- ``s01``: brute-force cosine top-k — the exact baseline, fully
-  oracle-checked (identical sequential fp order in both engines).
-- ``s02``: LSH-bucketed ANN via random hyperplane signatures — the scale
-  path (candidates come from an equi-join on bucket signature, never a
-  full cross join). Deterministic given the seeded hyperplanes, but not
-  SQL-expressible in DuckDB compactly → verified by a recall@k pytest
-  against s01 instead of a value-hash oracle.
+- ``s01``: brute-force cosine top-k — the exact baseline.
+- ``s02``: LSH-bucketed ANN (random hyperplane signatures, multiprobe).
+- ``s03``: trained-IVF ANN (seeded init + one Lloyd pass, k = ⌈√n⌉).
+- ``s04``: blocked kNN self-join (corpus×corpus within label blocks).
+- ``s05``: int8 scalar-quantized top-k (the memory-side ANN trade).
+- ``s06``/``s07`` (round 9): the SERVING paths — persisted LSH hash
+  tables and the int8-quantized persisted IVF index, answered entirely
+  from ``operators.ivf_index`` layouts.
+
+Every entry is value-hash oracle-checked: the hyperplanes/init seeds are
+deterministic constants, dot products fold in the same sequential order
+as DuckDB's ``list_dot_product`` (operators/vector.py), and even the
+Lloyd pass and the int8 grid replay exactly in SQL.
 
 Scale posture: s01's query side is a broadcast (few probe vectors against
 the big corpus — no shuffle of the corpus); for corpus×corpus workloads use
-s02's bucketed join or the MinHash/LSH machinery in ``dedup``.
+s02/s03's bucketed joins or the MinHash/LSH machinery in ``dedup``.
 """
 
 from __future__ import annotations
