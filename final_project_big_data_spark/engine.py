@@ -78,3 +78,51 @@ class Engine:
             .trigger(availableNow=True)
             .start()
         )
+
+    # -- index / layout maintenance entry points (round 9) ---------------
+    def build_index(
+        self, kind: str, path: str, quantize: bool = False
+    ) -> None:
+        """Build-once ANN index beside the corpus (``operators.ivf_index``):
+        kind="ivf" trains the coarse quantizer and writes centroids +
+        centroid-partitioned postings (``quantize=True`` stores int8
+        levels — 1 byte/dim inverted lists); kind="lsh" writes the
+        bucket-partitioned hash tables. A maintenance job, not
+        query-time work."""
+        from final_project_big_data_spark.operators import ivf_index as IX
+
+        if kind == "ivf":
+            IX.save_ivf_index(self.spark, self.sf_dir, path, quantize=quantize)
+        elif kind == "lsh":
+            if quantize:
+                raise ValueError("quantize applies to kind='ivf' only")
+            IX.save_lsh_index(self.spark, self.sf_dir, path)
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+
+    def query_index(self, kind: str, path: str, n_queries: int) -> DataFrame:
+        """ANN top-k answered entirely FROM a persisted index — the exact
+        s03/s02 query plans over loaded frames (results row-identical to
+        the fresh builds; pinned in tests)."""
+        from final_project_big_data_spark.operators import ivf_index as IX
+
+        if kind == "ivf":
+            return IX.ivf_topk_with_index(self.spark, path, n_queries)
+        if kind == "lsh":
+            return IX.lsh_topk_with_index(self.spark, path, n_queries)
+        raise ValueError(f"unknown index kind {kind!r}")
+
+    def compact(
+        self,
+        src: str,
+        dst: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_cols: list[str] | None = None,
+    ) -> int:
+        """Small-file compaction rewrite (``io.compact_files``): returns
+        the byte-derived output file count."""
+        from final_project_big_data_spark.io import compact_files
+
+        return compact_files(
+            self.spark, src, dst, target_file_bytes, sort_cols
+        )

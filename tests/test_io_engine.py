@@ -404,3 +404,33 @@ def test_compact_files_right_sizes_and_preserves_rows(spark, sf_dir, tmp_path):
     spans.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi <= b_lo  # range-partitioned: files don't interleave
+
+
+def test_engine_index_and_compact_facade(spark, sf_dir, tmp_path):
+    """The round-9 facade methods delegate to the real operators: a
+    built-then-queried index returns the fresh-build rows, and compact
+    preserves content while hitting the planned file count."""
+    from final_project_big_data_spark.engine import Engine
+    from final_project_big_data_spark.queries import all_specs
+
+    import pytest as _pytest
+
+    eng = Engine(spark, sf_dir)
+    idx = str(tmp_path / "lsh")
+    eng.build_index("lsh", idx)
+    got = eng.query_index("lsh", idx, 10).collect()
+    want = all_specs()["s02_lsh_ann_topk"].builder(spark, sf_dir).collect()
+    assert got == want
+    with _pytest.raises(ValueError):
+        eng.build_index("lsh", idx, quantize=True)
+    with _pytest.raises(ValueError):
+        eng.build_index("btree", idx)
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    eng.table("orders").repartition(8).write.parquet(src)
+    n = eng.compact(src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert (
+        spark.read.parquet(dst).count() == eng.table("orders").count()
+    )
