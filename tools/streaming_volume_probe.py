@@ -80,11 +80,10 @@ def main() -> None:
     }
     for name, op in ladder.items():
         stream = op(P.file_stream(spark, replay, files_per_trigger=PER_TRIGGER))
-        mode = "append" if name != "dedup_stream" else "append"
         t0 = time.perf_counter()
         q = (
             stream.writeStream.format("noop")
-            .outputMode(mode)
+            .outputMode("append")
             .option(
                 "checkpointLocation",
                 os.path.join(OUT, f"ckpt_{name}_{int(t0)}"),
