@@ -255,3 +255,29 @@ def test_jaccard_planted_duplicate_recall(spark, planted_dir, planted_dir_big):
         ]
         assert len(near) == 5, (sf, len(near))
         assert all(j > 0.5 for j in near), (sf, near)
+
+
+def test_edit_distance_planted_duplicate_recall(
+    spark, planted_dir, planted_dir_big
+):
+    """d12 recall at TWO volumes (round 9): the word-mutated planted
+    near-dups differ from their originals by a handful of 'the'→'thy'
+    substitutions plus a 4-char suffix — edit distance far below the
+    threshold — and must surface with the derived bucket width at both
+    corpus sizes (the +4-char length change also exercises the
+    adjacent-bucket emission at the narrower width)."""
+    for sf in (planted_dir, planted_dir_big):
+        res = all_specs()["d12_edit_distance_pairs"].builder(spark, sf)
+        rows = {(r.doc_a, r.doc_b): r.edit_dist for r in res.collect()}
+        near = [
+            rows[(i, i + 2 * ID_OFFSET)]
+            for i in range(5)
+            if (i, i + 2 * ID_OFFSET) in rows
+        ]
+        assert len(near) == 5, (sf, len(near))
+        assert all(0 < dist <= 40 for dist in near), (sf, near)
+        # exact copies (distance 0) are caught too
+        exact = sum(
+            1 for i in range(N_PLANT) if rows.get((i, i + ID_OFFSET)) == 0
+        )
+        assert exact == N_PLANT, (sf, exact)
