@@ -256,7 +256,15 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
 
-    work = tempfile.mkdtemp(prefix="q107_compact_")
+    # deterministic per-corpus path (NOT mkdtemp): both writes below are
+    # mode("overwrite"), so repeated invocations reuse one directory
+    # instead of accumulating litter
+    import hashlib
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"q107_compact_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
     src = os.path.join(work, "fragmented")
     dst = os.path.join(work, "compacted")
     (

@@ -1033,6 +1033,7 @@ def s06(spark: SparkSession, sf: str) -> DataFrame:
     Eager by contract (the index build is a write job); the query side
     stays the shared lazy ``_lsh_probe`` plan, whose scan prunes to the
     1 + planes probed bucket directories."""
+    import hashlib
     import tempfile
 
     from final_project_big_data_spark.operators.ivf_index import (
@@ -1040,7 +1041,14 @@ def s06(spark: SparkSession, sf: str) -> DataFrame:
         save_lsh_index,
     )
 
-    path = tempfile.mkdtemp(prefix="s06_lsh_index_")
+    # deterministic per-corpus path (NOT mkdtemp): the index write is
+    # mode("overwrite"), so repeated invocations — the driver builds
+    # every query twice, sweeps run two harnesses — reuse one directory
+    # instead of accumulating GB-scale litter at probe volumes
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"s06_lsh_index_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
     save_lsh_index(spark, sf, path)
     return lsh_topk_with_index(spark, path, _N_QUERIES)
 
@@ -1112,6 +1120,7 @@ def s07(spark: SparkSession, sf: str) -> DataFrame:
     and scoring — so the quantizer-in-the-storage-layout is value-hash
     verified per round, not pytest-only. Eager by contract (the index
     build writes); the query side is the shared lazy ``_ivf_probe``."""
+    import hashlib
     import tempfile
 
     from final_project_big_data_spark.operators.ivf_index import (
@@ -1119,6 +1128,10 @@ def s07(spark: SparkSession, sf: str) -> DataFrame:
         save_ivf_index,
     )
 
-    path = tempfile.mkdtemp(prefix="s07_q8_ivf_index_")
+    # deterministic per-corpus path — same no-accumulation rationale as s06
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"s07_q8_ivf_index_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
     save_ivf_index(spark, sf, path, quantize=True)
     return ivf_topk_with_index(spark, path, _N_QUERIES)
