@@ -364,3 +364,87 @@ def a08(spark: SparkSession, sf: str) -> DataFrame:
         .limit(10)
         .withColumn("sel_key", F.round("sel_key", 4))
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+_CMS_D = 3  # hash rows = 3 disjoint md5 hex windows (same family as d08)
+_CMS_W = 256  # buckets per row; sketch table is d×w regardless of stream size
+_CMS_TOPK = 20
+
+
+@query(
+    "a09_cms_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+    pos AS (
+      SELECT uid, j,
+             CAST('0x' || substr(md5(uid), 1 + 8 * j, 8) AS BIGINT)
+               % {_CMS_W} AS bucket
+      FROM ev CROSS JOIN (VALUES (0), (1), (2)) t(j)
+    ),
+    sketch AS (SELECT j, bucket, count(*) AS c FROM pos GROUP BY j, bucket),
+    cand AS (SELECT DISTINCT uid, j, bucket FROM pos),
+    est AS (
+      SELECT cand.uid, CAST(min(s.c) AS BIGINT) AS cms_est
+      FROM cand JOIN sketch s ON cand.j = s.j AND cand.bucket = s.bucket
+      GROUP BY cand.uid
+    )
+    SELECT uid AS user_id, cms_est FROM est
+    ORDER BY cms_est DESC, user_id LIMIT {_CMS_TOPK}
+    """,
+    category="approx",
+)
+def a09(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: top-{k} stream keys ranked by their
+    CMS frequency estimate (d={d} md5-window hash rows, w={w} buckets).
+
+    Unlike a01–a08's property oracles, the sketch itself is deterministic
+    (md5-derived hash family, as in d02/d08), so DuckDB replays the exact
+    d×w counter table and the estimates hash-match — including any
+    collision-inflated overestimates, which ARE the CMS contract.
+
+    Scale shape: the sketch is ONE hash-agg whose output is bounded at
+    d×w rows no matter the stream size (map-side partial counters, then a
+    d×w-row exchange); the estimate phase joins candidates to the sketch
+    with the sketch side broadcast (≤{dw} rows), and the top-k compiles to
+    TakeOrderedAndProject — no global sort, no second full pass over the
+    stream beyond the distinct-candidate agg.
+    """
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.conv(
+                        F.substring(F.md5("uid"), 1 + 8 * j, 8), 16, 10
+                    ).cast("long")
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    pos = ev.select("uid", F.explode(rows).alias("p")).select(
+        "uid", "p.j", "p.bucket"
+    )
+    sketch = pos.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    cand = pos.distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("uid")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(F.col("uid").alias("user_id"), "cms_est")
+        .orderBy(F.desc("cms_est"), "user_id")
+        .limit(_CMS_TOPK)
+    )
+
+
+a09.__doc__ = a09.__doc__.format(
+    k=_CMS_TOPK, d=_CMS_D, w=_CMS_W, dw=_CMS_D * _CMS_W
+)

@@ -106,3 +106,115 @@ def x05(spark: SparkSession, sf: str) -> DataFrame:
     )
     pr = pagerank(edges, n_iter=_PR_ITER, damping=_PR_D)
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+_TRI_MIN_QTY = 50  # co-supply edge = two suppliers ship the same part at max qty
+
+
+@query(
+    "x08_triangle_count",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= {_TRI_MIN_QTY}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    n AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS s_suppkey, count(*) AS n_triangles
+    FROM n GROUP BY node ORDER BY s_suppkey
+    """,
+    category="graph",
+)
+def x08(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts on the supplier co-supply graph, via
+    degree-oriented wedge counting (the MPC-standard algorithm).
+
+    Graph: nodes = suppliers, undirected edge when two suppliers both
+    ship the same part at max quantity. Edge generation is BLOCKED on
+    ``l_partkey`` (sorted collect_set + pair expansion per part, like
+    d07's band buckets) — suppliers-per-part is data-bounded, so no
+    global O(n²) exists. Counting then orients every edge from the
+    endpoint with the smaller ``(degree, id)`` to the larger, which
+    bounds out-degree at O(√m) on any graph — wedges (two out-edges of
+    one node) joined back to the oriented edge list touch each triangle
+    exactly once. The oracle intentionally uses the OTHER formulation
+    (canonical a<b<c triple join) so two independent algorithms must
+    agree on every per-node count.
+    """
+    from final_project_big_data_spark.io import load_table
+
+    ps = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        ps.groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    rank_a = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    rank_b = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    lower_first = rank_a < rank_b
+    oriented = e.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, rank_b).otherwise(rank_a).alias("dst_rank"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst_rank") < F.col("o2.dst_rank")),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("s_suppkey")
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("s_suppkey")
+    )

@@ -536,9 +536,10 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
-@query(
-    "d07_dup_clusters",
-    oracle=_MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+# Shared CTE chain for the cluster family (d07, d13): mh0-blocked pairs →
+# recursive reachability → min-label clusters.
+_CLUSTERS_SQL = (
+    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,
     pairs AS (
       SELECT a.doc_id AS pa, b.doc_id AS pb
@@ -549,20 +550,17 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, doc_id FROM mh
       UNION
       SELECT e.pb, reach.r FROM reach JOIN edges e ON e.pa = reach.doc_id
+    ),
+    clusters AS (
+      SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
     )
-    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-    category="dedup",
+"""
 )
-def d07(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup clustering: LSH candidate pairs → connected components →
-    canonical (min) doc_id per cluster.
 
-    The step that turns pairwise candidates into an actual dedup decision;
-    iterative min-label propagation (operators/components.py) against a
-    DuckDB recursive-CTE reachability oracle.
-    """
+
+def _mh0_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, cluster_id) via mh0-blocked pairs + connected components —
+    the Spark twin of ``_CLUSTERS_SQL``, shared by d07 and d13."""
     from final_project_big_data_spark.operators.components import (
         connected_components,
     )
@@ -585,7 +583,63 @@ def d07(spark: SparkSession, sf: str) -> DataFrame:
     )
     nodes = mh.select("doc_id")
     cc = connected_components(nodes, pairs, id_col="doc_id")
-    return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "d07_dup_clusters",
+    oracle=_CLUSTERS_SQL
+    + "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id",
+    category="dedup",
+)
+def d07(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs → connected components →
+    canonical (min) doc_id per cluster.
+
+    The step that turns pairwise candidates into an actual dedup decision;
+    iterative min-label propagation (operators/components.py) against a
+    DuckDB recursive-CTE reachability oracle.
+    """
+    return _mh0_clusters(spark, sf).orderBy("doc_id")
+
+
+@query(
+    "d13_dedup_apply",
+    oracle=_CLUSTERS_SQL
+    + """
+    SELECT c.cluster_id AS doc_id, d.source, d.n_chars,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM clusters c JOIN documents d ON d.doc_id = c.cluster_id
+    GROUP BY c.cluster_id, d.source, d.n_chars
+    ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d13(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup APPLIED: the surviving corpus after near-dup
+    clustering — one canonical (min-id) document per cluster, annotated
+    with how many members it absorbed.
+
+    d01–d12 produce signatures, candidate pairs, and cluster labels; this
+    is the operation a pipeline user actually runs before training —
+    "give me the deduplicated corpus". Cluster sizes come from one
+    hash-agg on the d07 labels; the canonical rows come back from
+    ``documents`` via an equi-join on the cluster id (survivors are a
+    subset of docs, so the join is corpus-sized, never larger). Same
+    recursive-CTE oracle as d07 extended by the survivor join, so the
+    whole pipeline — shingle → minhash → block → components → apply —
+    stays value-hash-checked.
+    """
+    cc = _mh0_clusters(spark, sf)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("n_merged"))
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        sizes.join(docs, sizes.cluster_id == docs.doc_id)
+        .select("doc_id", "source", "n_chars", "n_merged")
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------- bloom-filter dedup

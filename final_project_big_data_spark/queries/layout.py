@@ -294,3 +294,103 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(n_after < n_before).alias("files_reduced"),
         F.lit(n_after == planned).alias("right_sized"),
     )
+
+
+# ---------------------------------------------------------- MERGE / upsert
+
+
+@query(
+    "q108_merge_upsert",
+    oracle="""
+    WITH snap AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey % 5 <> 0
+    ),
+    ch AS (
+      SELECT o_custkey AS k, o_orderstatus, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderstatus, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT COALESCE(s.c_custkey, c.k) AS c_custkey,
+             CASE WHEN c.k IS NULL THEN s.c_acctbal
+                  ELSE c.o_totalprice END AS bal,
+             CASE WHEN s.c_custkey IS NULL THEN 'NEW'
+                  ELSE s.c_mktsegment END AS c_mktsegment,
+             CASE WHEN c.k IS NULL THEN 'kept'
+                  WHEN s.c_custkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS action,
+             c.o_orderstatus AS st
+      FROM snap s FULL OUTER JOIN ch c ON s.c_custkey = c.k
+    )
+    SELECT c_custkey, ROUND(bal, 2) AS c_acctbal, c_mktsegment, action
+    FROM merged WHERE st IS NULL OR st <> 'F'
+    ORDER BY c_custkey
+    """,
+    category="layout",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO (CDC upsert apply): latest-change-wins application of a
+    change stream onto a snapshot, exercising all three branches — WHEN
+    MATCHED UPDATE, WHEN MATCHED AND op='delete' DELETE, WHEN NOT MATCHED
+    INSERT (unmatched deletes are no-ops, per standard MERGE).
+
+    Snapshot = customers with ``c_custkey % 5 <> 0`` (a stale copy, so
+    some change keys are genuinely new at every SF); change stream = each
+    customer's LATEST order in the trailing CDC window (o_orderdate ≥
+    2001-01-01 — most snapshot keys see no change and pass through as
+    'kept'; final status 'F' → delete, else upsert of the order total as
+    the new balance).
+
+    Scale shape: latest-per-key is ``max(struct(ordering, payload))`` —
+    ONE hash-agg with map-side partial merge, deliberately not a
+    row_number window (a window must shuffle+sort every change row; the
+    struct-max agg reduces per partition first, which is the difference
+    at a 100 TB change log). The apply itself is one full-outer
+    shuffle-hash join on the key — at scale both sides would be bucketed
+    on c_custkey so the merge never re-shuffles the snapshot. The oracle
+    states the SAME semantics the conventional way (row_number = 1 +
+    FULL OUTER JOIN), so the agg rewrite is value-checked against the
+    textbook form.
+    """
+    snap = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 5 != 0)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    latest = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("ch")
+    ).select("k", "ch.o_orderstatus", "ch.o_totalprice")
+    m = snap.join(latest, snap.c_custkey == latest.k, "full_outer")
+    return (
+        m.select(
+            F.coalesce("c_custkey", "k").alias("c_custkey"),
+            F.round(
+                F.when(F.col("k").isNull(), F.col("c_acctbal")).otherwise(
+                    F.col("o_totalprice")
+                ),
+                2,
+            ).alias("c_acctbal"),
+            F.when(F.col("c_custkey").isNull(), F.lit("NEW"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(F.col("k").isNull(), F.lit("kept"))
+            .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("action"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .filter(F.col("st").isNull() | (F.col("st") != "F"))
+        .drop("st")
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,144 @@
+"""Semantic pins for the round-9 additions: triangle counting (x08),
+dedup-apply (d13), MERGE upsert (q108), and CMS heavy hitters (a09).
+
+Each entry is already value-hash-checked against its DuckDB oracle by the
+sweep; these tests pin the PROPERTIES that make the operator correct by
+construction (CMS never underestimates, MERGE branch semantics, dedup
+conservation), which a hash match alone can't localize when it breaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from final_project_big_data_spark.queries import all_specs
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_specs()
+
+
+# ------------------------------------------------------------------- x08
+
+
+def test_x08_degree_oriented_matches_naive_on_k4(spark, tmp_path):
+    """K4 (complete graph on 4 suppliers via one shared part-family) has
+    exactly C(4,3)=4 triangles; every node participates in 3. Exercises
+    the orientation logic on a graph where every wedge closes."""
+    rows = [(p, s, 50.0) for p in (1, 2, 3) for s in (10, 20, 30, 40)]
+    df = spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, l_quantity double"
+    )
+    # The builder reads lineitem from the sf dir: write a minimal table
+    # with the columns it touches plus schema-compatible padding.
+    li = df.select(
+        F.lit(1).cast("long").alias("l_orderkey"),
+        "l_partkey",
+        "l_suppkey",
+        F.lit(1).alias("l_linenumber"),
+        "l_quantity",
+        F.lit(1.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"),
+        F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        F.lit("1995-06-01").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = all_specs()["x08_triangle_count"].builder(spark, str(tmp_path))
+    got = {(r.s_suppkey, r.n_triangles) for r in out.collect()}
+    assert got == {(10, 3), (20, 3), (30, 3), (40, 3)}
+
+
+def test_x08_triangle_sum_is_multiple_of_three(spark, sf_dir, specs):
+    """Per-node participation counts sum to 3 × (number of triangles)."""
+    out = specs["x08_triangle_count"].builder(spark, sf_dir)
+    total = out.agg(F.sum("n_triangles")).first()[0]
+    assert total is not None and total % 3 == 0
+
+
+# ------------------------------------------------------------------- d13
+
+
+def test_d13_conservation(spark, sf_dir, specs):
+    """Survivors absorb the whole corpus: sum(n_merged) == corpus rows,
+    survivor count == number of d07 clusters, and every survivor is its
+    own cluster id (canonical = min member)."""
+    d13 = specs["d13_dedup_apply"].builder(spark, sf_dir)
+    d07 = specs["d07_dup_clusters"].builder(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    agg = d13.agg(
+        F.sum("n_merged").alias("s"), F.count("*").alias("k")
+    ).first()
+    assert agg.s == n_docs
+    assert agg.k == d07.select("cluster_id").distinct().count()
+    # survivors are exactly the cluster ids
+    surv = {r.doc_id for r in d13.select("doc_id").collect()}
+    clus = {r.cluster_id for r in d07.select("cluster_id").distinct().collect()}
+    assert surv == clus
+
+
+# ------------------------------------------------------------------ q108
+
+
+def test_q108_merge_branch_semantics(spark, sf_dir, specs):
+    out = specs["q108_merge_upsert"].builder(spark, sf_dir).cache()
+    try:
+        actions = {
+            r.action for r in out.select("action").distinct().collect()
+        }
+        assert actions == {"kept", "updated", "inserted"}
+        # inserted rows are exactly the snapshot-absent keys → segment NEW
+        ins = out.filter(F.col("action") == "inserted")
+        assert ins.filter(F.col("c_mktsegment") != "NEW").count() == 0
+        assert ins.filter(F.col("c_custkey") % 5 != 0).count() == 0
+        # matched deletes are really gone: a customer in the snapshot whose
+        # latest order is status 'F' must not appear at all
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        latest = (
+            o.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.max(
+                    F.struct("o_orderdate", "o_orderkey", "o_orderstatus")
+                ).alias("ch")
+            )
+        )
+        deleted = latest.filter(
+            (F.col("ch.o_orderstatus") == "F")
+            & (F.col("o_custkey") % 5 != 0)
+        )
+        n_del = deleted.count()
+        assert n_del > 0  # the branch is actually exercised at this SF
+        assert (
+            out.join(
+                deleted.select(F.col("o_custkey").alias("c_custkey")),
+                "c_custkey",
+            ).count()
+            == 0
+        )
+    finally:
+        out.unpersist()
+
+
+# ------------------------------------------------------------------- a09
+
+
+def test_a09_cms_never_underestimates(spark, sf_dir, specs):
+    """The defining CMS property: estimate ≥ exact count for every key
+    (min over d counters can only be inflated by collisions)."""
+    est = specs["a09_cms_heavy_hitters"].builder(spark, sf_dir)
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(F.count("*").alias("exact"))
+    )
+    bad = est.join(exact, "user_id").filter(
+        F.col("cms_est") < F.col("exact")
+    )
+    assert bad.count() == 0
+    assert est.count() > 0
