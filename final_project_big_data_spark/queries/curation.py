@@ -280,3 +280,103 @@ def p03(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("split", "lang")
     )
+
+
+_TEMP_ALPHA = 0.5  # temperature exponent: p_lang ∝ n_lang^α
+
+
+@query(
+    "p04_temperature_resample",
+    oracle=f"""
+    WITH stats AS (SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
+    tot AS (
+      SELECT sum(n_avail) AS n_total, sum(pow(n_avail, {_TEMP_ALPHA})) AS z
+      FROM stats
+    ),
+    rates AS (
+      SELECT lang, n_avail,
+             pow(n_avail, {_TEMP_ALPHA}) / z * n_total / n_avail AS rate
+      FROM stats CROSS JOIN tot
+    ),
+    copies AS (
+      SELECT d.lang,
+             CAST(floor(r.rate) AS BIGINT)
+             + CASE WHEN CAST('0x' || substr(md5('temp:' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    / 4294967296.0 < r.rate - floor(r.rate)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN rates r ON d.lang = r.lang
+    )
+    SELECT r.lang, CAST(r.n_avail AS BIGINT) AS n_avail,
+           ROUND(r.rate, 4) AS rate,
+           CAST(coalesce(sum(c.n_copies), 0) AS BIGINT) AS n_out
+    FROM rates r LEFT JOIN copies c ON c.lang = r.lang
+    GROUP BY r.lang, r.n_avail, r.rate
+    ORDER BY r.lang
+    """,
+    category="pipeline",
+)
+def p04(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based corpus resampling (α = 0.5): the data-mixing
+    step multilingual LLM training actually uses — language shares are
+    flattened to p_lang ∝ n_lang^α, so scarce languages are UPSAMPLED
+    (rate > 1 → integer epochs + a deterministic fractional epoch) and
+    dominant ones downsampled, at a budget equal to the corpus size.
+    Unlike p02 (fixed target weights with saturation), the weights here
+    are DERIVED from the corpus counts, and rates above 1 are honored by
+    repetition instead of clamped.
+
+    Per-document copy count = ⌊rate⌋ + (salted-md5 uniform < frac(rate)),
+    so the resample is a pure function of (doc_id, corpus stats) — stable
+    across engines, runs, and partitionings; the oracle replays it bit
+    for bit. Plan: 5-row stats aggregate broadcast onto the scan; the
+    copy decision is map-side; one summary agg. At 100 TB the actual
+    materialization would be the same expression feeding
+    ``explode(sequence(1, n_copies))`` — still shuffle-free.
+    """
+    d = load_table(spark, sf, "documents")
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_avail"))
+    tot = stats.agg(
+        F.sum("n_avail").alias("n_total"),
+        F.sum(F.pow("n_avail", F.lit(_TEMP_ALPHA))).alias("z"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_avail",
+        (
+            F.pow("n_avail", F.lit(_TEMP_ALPHA))
+            / F.col("z")
+            * F.col("n_total")
+            / F.col("n_avail")
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    copies = d.join(F.broadcast(rates.select("lang", "rate")), "lang").select(
+        "lang",
+        (
+            F.floor("rate")
+            + F.when(u < F.col("rate") - F.floor("rate"), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    picked = copies.groupBy("lang").agg(F.sum("n_copies").alias("n_out"))
+    return (
+        rates.join(picked, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.round("rate", 4).alias("rate"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+        )
+        .orderBy("lang")
+    )

@@ -2,13 +2,15 @@
 
 Families over ``documents`` / ``embeddings``:
 
-- exact (hash-groupBy), Bloom-filter (d08), chunk-level (d09)
+- exact (hash-groupBy), Bloom-filter (d08), chunk-level (d09), and
+  content-defined chunking (d14: rolling-hash boundaries, insertion-stable)
 - MinHash + LSH banding (shingle → md5 minhash → band keys → bucket join)
 - SimHash (per-bit majority over md5-derived 32-bit word hashes)
 - n-gram Jaccard (blocked pairs, d05) and prefix-filter Jaccard (d11)
 - edit-distance pairs (d12: banded levenshtein over the same blocking)
 - embedding-cosine near-dup (d06) and SemDeDup on IVF clusters (d10)
-- duplicate clusters via connected components (d07)
+- duplicate clusters via connected components (d07), applied to the
+  corpus by d13 (one canonical survivor per cluster)
 
 Everything is built-in-function Spark (no Python in the hot path beyond
 the size-switched Arrow pair kernel), and every query here is *fully*
@@ -1099,3 +1101,110 @@ def d12(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("edit_dist") != -1)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ----------------------------------------- content-defined chunking (CDC)
+
+_CDC_DIV = 8  # boundary when the 2-word window hash % 8 == 0 → mean ≈ 8 words
+
+_CDC_BOUNDARY = (
+    "CAST(conv(substring(md5(concat(element_at(w, i - 1), ' ',"
+    " element_at(w, i))), 1, 8), 16, 10) AS BIGINT)"
+    f" % {_CDC_DIV} = 0"
+)
+_CDC_CHUNKS = f"""
+    transform(
+      sequence(1, size(cdc_starts)),
+      j -> array_join(
+             slice(w, element_at(cdc_starts, j),
+                   element_at(
+                     concat(slice(cdc_starts, 2, size(cdc_starts) - 1),
+                            array(size(w) + 1)), j)
+                   - element_at(cdc_starts, j)), ' '))
+"""
+
+
+@query(
+    "d14_cdc_chunks",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, w,
+             list_concat([1], list_filter(
+               generate_series(2, len(w)),
+               i -> CAST('0x' || substr(md5(w[i - 1] || ' ' || w[i]), 1, 8)
+                         AS BIGINT) % {_CDC_DIV} = 0)) AS starts
+      FROM w WHERE len(w) >= 2
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(starts)),
+               j -> array_to_string(
+                      w[starts[j] :
+                        list_concat(starts[2:], [len(w) + 1])[j] - 1], ' ')
+             )) AS chunk
+      FROM st
+    ),
+    cnt AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS freq FROM ch
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d14(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup: chunk boundaries fall where a
+    rolling 2-word window hash ≡ 0 (mod {div}), so boundaries are a pure
+    function of LOCAL content — inserting or deleting words near the
+    start of a document shifts d09's fixed-width chunk grid for the whole
+    rest of the document, but CDC boundaries re-synchronize at the next
+    hash-selected window and every later chunk fingerprint survives.
+    That insertion stability is why storage dedup (LBFS/Venti lineage)
+    and incremental-crawl corpus dedup chunk this way.
+
+    Same output contract and plan shape as d09 (explode → ONE shuffle on
+    chunk text for the corpus-wide frequency window → per-doc re-agg);
+    the boundary selection itself is per-document array logic inside the
+    scan projection — no extra shuffle. The md5-derived window hash makes
+    DuckDB replay the exact boundary set, so chunking, frequencies, and
+    ratios all hash-match.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", _words().alias("w")
+    )
+    starts = F.expr(
+        f"concat(array(1), filter(sequence(2, size(w)), i -> {_CDC_BOUNDARY}))"
+    )
+    chunks = (
+        d.filter(F.size("w") >= 2)
+        .withColumn("cdc_starts", starts)
+        .select("doc_id", F.explode(F.expr(_CDC_CHUNKS)).alias("chunk"))
+    )
+    with_freq = chunks.withColumn(
+        "freq", F.count(F.lit(1)).over(W.partitionBy("chunk"))
+    )
+    return (
+        with_freq.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("freq") >= 2).cast("long")).alias("n_dup_chunks"),
+            F.round(
+                F.sum((F.col("freq") >= 2).cast("long"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+d14.__doc__ = d14.__doc__.format(div=_CDC_DIV)

@@ -1,5 +1,6 @@
 """Semantic pins for the round-9 additions: triangle counting (x08),
-dedup-apply (d13), MERGE upsert (q108), and CMS heavy hitters (a09).
+dedup-apply (d13), MERGE upsert (q108), CMS heavy hitters (a09),
+temperature resampling (p04), and content-defined chunking (d14).
 
 Each entry is already value-hash-checked against its DuckDB oracle by the
 sweep; these tests pin the PROPERTIES that make the operator correct by
@@ -142,3 +143,69 @@ def test_a09_cms_never_underestimates(spark, sf_dir, specs):
     )
     assert bad.count() == 0
     assert est.count() > 0
+
+
+# ------------------------------------------------------------------- p04
+
+
+def test_p04_temperature_bounds(spark, sf_dir, specs):
+    """Temperature flattening must up-sample the scarcest language and
+    down-sample the dominant one; per-language output is bounded by the
+    integer-epoch envelope n·⌊rate⌋ ≤ n_out ≤ n·⌈rate⌉."""
+    out = specs["p04_temperature_resample"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert any(r.rate > 1.0 for r in rows)  # scarce lang upsampled
+    assert any(r.rate < 1.0 for r in rows)  # dominant lang downsampled
+    import math
+
+    for r in rows:
+        assert r.n_avail * math.floor(r.rate) <= r.n_out
+        assert r.n_out <= r.n_avail * math.ceil(r.rate)
+
+
+# ------------------------------------------------------------------- d14
+
+
+def test_d14_cdc_survives_prefix_insertion(spark, sf_dir, specs, tmp_path):
+    """The reason CDC exists: prepending words to a document shifts every
+    fixed-width (d09) chunk, but CDC boundaries re-synchronize, so the
+    mutated copy shares most of its chunk fingerprints with the original.
+    Plants doc' = 'zzz qqq ' + doc and compares chunk-set overlap under
+    both chunkers."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.orderBy("doc_id").limit(1)
+    planted = base.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.lit("zzz qqq "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 8).alias("n_chars"),
+    )
+    out = str(tmp_path)
+    docs.unionByName(planted).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    def chunk_sets(name):
+        # rebuild the chunker's exploded (doc_id, chunk) relation via the
+        # registered builder's own module helpers is overkill — the n_dup
+        # summary is enough: under CDC the planted pair makes nearly every
+        # chunk of BOTH docs duplicated; under the fixed grid only the
+        # aligned tail (if any) matches.
+        df = specs[name].builder(spark, out)
+        row = df.filter(
+            F.col("doc_id").isin([base.first().doc_id, planted.first().doc_id])
+        ).collect()
+        return {r.doc_id: (r.n_chunks, r.n_dup_chunks) for r in row}
+
+    cdc = chunk_sets("d14_cdc_chunks")
+    fixed = chunk_sets("d09_chunk_dedup")
+    pid = planted.first().doc_id
+    cdc_frac = cdc[pid][1] / cdc[pid][0]
+    fixed_frac = fixed[pid][1] / fixed[pid][0]
+    # CDC: everything after the first re-synchronized boundary matches
+    assert cdc_frac >= 0.8, (cdc, fixed)
+    # the fixed grid is shifted by 2 words → near-total chunk loss
+    assert fixed_frac <= 0.2, (cdc, fixed)
