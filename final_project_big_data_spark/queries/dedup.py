@@ -780,7 +780,7 @@ def d09(spark: SparkSession, sf: str) -> DataFrame:
     key should be md5(chunk) (8-byte prefix) rather than raw text; raw
     text is kept here so the fixture oracle stays byte-identical.
     """
-    d = load_table(spark, sf, "documents").select(
+    d = widen(load_table(spark, sf, "documents")).select(
         "doc_id", _words().alias("w")
     )
     n_chunks = (F.size("w") / _CHUNK_WORDS).cast("int")
@@ -1178,7 +1178,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB replay the exact boundary set, so chunking, frequencies, and
     ratios all hash-match.
     """
-    d = load_table(spark, sf, "documents").select(
+    d = widen(load_table(spark, sf, "documents")).select(
         "doc_id", _words().alias("w")
     )
     starts = F.expr(

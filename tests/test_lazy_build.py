@@ -37,6 +37,7 @@ EAGER_BY_CONTRACT = {
     "m01_rf_prepare_train_score",
     "m02_streaming_score_parity",  # trains + runs an availableNow stream
     "d07_dup_clusters",
+    "d13_dedup_apply",  # applies d07's iterative components (checkpoint jobs)
     "x07_components_star",
     # q107: compaction IS a write job — the entry fragments a slice,
     # rewrites it via io.compact_files, and reports facets of the copy
