@@ -394,3 +394,51 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
         .drop("st")
         .orderBy("c_custkey")
     )
+
+
+# ------------------------------------------------------------- ORC surface
+
+_ORC_PRED = 3000
+
+
+@query(
+    "q109_orc_roundtrip",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           ROUND(sum(o_totalprice), 2) AS price_sum
+    FROM orders WHERE o_orderkey < {_ORC_PRED}
+    """,
+    category="source",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC write→read roundtrip: the columnar-format surface beyond
+    parquet/CSV/JSON (ORC support ships in Spark core — predicate
+    pushdown, column pruning, and vectorized reads all apply). A slice
+    of ``orders`` is written as ORC and read back; the oracle computes
+    the same facets from the parquet source, so the value-hash proves
+    the roundtrip is lossless for every column type it carries (int64
+    keys, varchar, double money, timestamp partitioning survives the
+    format's own encodings). Deterministic per-corpus path with
+    mode("overwrite"), same litter discipline as q107.
+    """
+    import hashlib
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"q109_orc_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < _ORC_PRED)
+        .write.mode("overwrite")
+        .orc(work)
+    )
+    back = spark.read.orc(work).filter(F.col("o_orderkey") < _ORC_PRED)
+    return back.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )

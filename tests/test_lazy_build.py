@@ -42,6 +42,8 @@ EAGER_BY_CONTRACT = {
     # q107: compaction IS a write job — the entry fragments a slice,
     # rewrites it via io.compact_files, and reports facets of the copy
     "q107_compaction_maintenance",
+    # q109: the ORC roundtrip is a write job by definition
+    "q109_orc_roundtrip",
     # s06/s07: the persisted-index serving paths — the index build is a
     # write job by definition; the query sides stay the lazy probe plans
     "s06_persisted_lsh_topk",
