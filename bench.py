@@ -60,6 +60,12 @@ EXTRAS = [
     "q105_incremental_agg",
     "q106_runtime_bounds_join",
     "s05_quantized_ann",
+    "q108_merge_upsert",
+    "x08_triangle_count",
+    "a09_cms_heavy_hitters",
+    "d13_dedup_apply",
+    "d14_cdc_chunks",
+    "p04_temperature_resample",
 ]
 
 
