@@ -218,3 +218,86 @@ def x08(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
         .orderBy("s_suppkey")
     )
+
+
+_BFS_ITER = 6
+_BFS_SRC = 0
+
+
+def _bfs_oracle() -> str:
+    """Unrolled fixed-iteration BFS relaxation CTE chain — the min-plus
+    mirror of x05's weighted-sum chain. ``least``/``min`` skip NULLs
+    identically in both engines (NULL = unreached), so the frontier
+    arithmetic needs no sentinel distances."""
+    iters = "".join(
+        f""",
+    d{i + 1} AS (
+      SELECT n.node, least(d.dist, r.via) AS dist
+      FROM nodes n JOIN d{i} d ON d.node = n.node
+      LEFT JOIN (SELECT e.dst AS node, min(p.dist + 1) AS via
+                 FROM d{i} p JOIN edges e ON p.node = e.src
+                 GROUP BY e.dst) r ON r.node = n.node
+    )"""
+        for i in range(_BFS_ITER)
+    )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 97 AS src, o_orderkey % 89 AS dst
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    d0 AS (
+      SELECT node, CASE WHEN node = {_BFS_SRC} THEN 0 END AS dist FROM nodes
+    )
+    {iters}
+    SELECT node, CAST(dist AS INT) AS dist FROM d{_BFS_ITER} ORDER BY node
+    """
+
+
+@query("x09_bfs_distance", oracle=_bfs_oracle(), category="graph")
+def x09(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration single-source shortest paths (BFS relaxation) over
+    the same directed orders-derived edge set as x05 — the min-plus
+    member of the iterative family (components = min-label, PageRank =
+    weighted sum, BFS = min-plus). {k} unrolled relaxation rounds: each
+    joins the frontier to the edge list, takes ``min(dist+1)`` per
+    destination (map-side combinable hash-agg), and merges with the
+    running distances via a NULL-skipping ``least`` — NULL is
+    "unreached", so no infinity sentinel exists in either engine.
+    Unreachable nodes stay NULL in the output, value-hash-checked.
+
+    Like x05 the loop is UNROLLED into one lazy plan (no build-time
+    jobs): at 100 TB each round is one shuffle on dst, and a real
+    cluster run would localCheckpoint every few rounds to truncate
+    lineage exactly as operators/components.py does.
+    """
+    from final_project_big_data_spark.io import load_table
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    edges = o.select(
+        (F.col("o_custkey") % 97).alias("src"),
+        (F.col("o_orderkey") % 89).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        "node", F.when(F.col("node") == _BFS_SRC, 0).alias("dist")
+    )
+    for _ in range(_BFS_ITER):
+        relax = (
+            dist.join(edges, dist.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + 1).alias("via"))
+        )
+        dist = dist.join(relax, "node", "left").select(
+            "node", F.least("dist", "via").alias("dist")
+        )
+    return dist.select(
+        "node", F.col("dist").cast("int").alias("dist")
+    ).orderBy("node")
+
+
+x09.__doc__ = x09.__doc__.format(k=_BFS_ITER)

@@ -1,6 +1,7 @@
 """Semantic pins for the round-9 additions: triangle counting (x08),
 dedup-apply (d13), MERGE upsert (q108), CMS heavy hitters (a09),
-temperature resampling (p04), and content-defined chunking (d14).
+temperature resampling (p04), content-defined chunking (d14), and BFS
+distances (x09).
 
 Each entry is already value-hash-checked against its DuckDB oracle by the
 sweep; these tests pin the PROPERTIES that make the operator correct by
@@ -209,3 +210,31 @@ def test_d14_cdc_survives_prefix_insertion(spark, sf_dir, specs, tmp_path):
     assert cdc_frac >= 0.8, (cdc, fixed)
     # the fixed grid is shifted by 2 words → near-total chunk loss
     assert fixed_frac <= 0.2, (cdc, fixed)
+
+
+# ------------------------------------------------------------------- x09
+
+
+def test_x09_bfs_triangle_inequality(spark, sf_dir, specs):
+    """BFS output must satisfy dist(v) ≤ dist(u) + 1 for every edge u→v
+    whose source is reached within the iteration budget minus one (the
+    last round can leave frontier-edge targets one step stale, so only
+    interior distances are constrained)."""
+    out = specs["x09_bfs_distance"].builder(spark, sf_dir)
+    d = {r.node: r.dist for r in out.collect()}
+    assert d[0] == 0
+    assert any(v is not None and v > 0 for v in d.values())
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            (F.col("o_custkey") % 97).alias("src"),
+            (F.col("o_orderkey") % 89).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    for e in edges:
+        du, dv = d.get(e.src), d.get(e.dst)
+        if du is not None and du <= 4:  # interior of the 6-round budget
+            assert dv is not None and dv <= du + 1, (e.src, e.dst, du, dv)
