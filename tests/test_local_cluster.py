@@ -39,5 +39,5 @@ def test_local_cluster_smoke(sf_dir):
     assert out.returncode == 0, out.stderr[-4000:]
     last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(last)
-    assert res["ok"] and res["queries"] == 12
+    assert res["ok"] and res["queries"] == 14
     assert all(n > 0 for n in res["rows"].values())

@@ -74,6 +74,14 @@ def main() -> None:
     )
     assert rows["s04_knn_self_join[np]"] > 0
 
+    # the iterative/checkpoint path (r9): connected_components' eager
+    # localCheckpoint stores blocks on REAL executor BlockManagers here
+    # (local[*] hides that round-trip), and x08's struct-ranked joins
+    # serialize struct comparators across the wire
+    for name in ("d13_dedup_apply", "x08_triangle_count"):
+        rows[name] = len(specs[name].builder(spark, SF).collect())
+        assert rows[name] > 0, name
+
     print(json.dumps({"ok": True, "queries": len(rows), "rows": rows}))
     spark.stop()
 
