@@ -1208,3 +1208,78 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 d14.__doc__ = d14.__doc__.format(div=_CDC_DIV)
+
+
+# ------------------------------------------------- containment (overlap join)
+
+_CONT_TAU = 0.5
+_CONT_MAX_DF = 1024  # boilerplate guard: shingles in more docs carry no signal
+
+
+@query(
+    "d15_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) BETWEEN 2 AND {_CONT_MAX_DF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a
+      JOIN kept k ON a.shingle = k.shingle
+      JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           ROUND(p.n_shared / CAST(least(sa.n, sb.n) AS DOUBLE), 4)
+             AS containment
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    WHERE p.n_shared / CAST(least(sa.n, sb.n) AS DOUBLE) >= {_CONT_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+)
+def d15(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment pairs via an inverted-index OVERLAP join —
+    the measure quote/boilerplate detection needs where Jaccard (d05,
+    d11) fails: a short document fully quoted inside a long one has low
+    Jaccard but containment |A∩B| / min(|A|,|B|) ≈ 1.
+
+    The pair-generation pattern here is the one the rest of the family
+    doesn't exercise: the shingle→docs inverted index ITSELF is the
+    block key (no signatures, no length buckets) — pairs exist only for
+    docs sharing a concrete shingle, shared-shingle counts come from one
+    hash-agg on (doc_a, doc_b), and a document-frequency cap
+    ({max_df}, the ``lsh_candidate_pairs`` degenerate-bucket guard
+    applied to raw shingles) drops boilerplate shingles whose buckets
+    would blow up quadratically while carrying no containment signal.
+    Set sizes join back broadcast-ably (one row per doc).
+    """
+    sh = _shingled(spark, sf)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        lsh_candidate_pairs(sh, "shingle", max_bucket=_CONT_MAX_DF)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    cont = F.col("n_shared") / F.least("na", "nb").cast("double")
+    return (
+        pairs.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(cont >= _CONT_TAU)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(cont, 4).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+d15.__doc__ = d15.__doc__.format(max_df=_CONT_MAX_DF)

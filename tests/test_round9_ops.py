@@ -1,7 +1,7 @@
 """Semantic pins for the round-9 additions: triangle counting (x08),
 dedup-apply (d13), MERGE upsert (q108), CMS heavy hitters (a09),
-temperature resampling (p04), content-defined chunking (d14), and BFS
-distances (x09).
+temperature resampling (p04), content-defined chunking (d14), BFS
+distances (x09), and containment pairs (d15).
 
 Each entry is already value-hash-checked against its DuckDB oracle by the
 sweep; these tests pin the PROPERTIES that make the operator correct by
@@ -238,3 +238,34 @@ def test_x09_bfs_triangle_inequality(spark, sf_dir, specs):
         du, dv = d.get(e.src), d.get(e.dst)
         if du is not None and du <= 4:  # interior of the 6-round budget
             assert dv is not None and dv <= du + 1, (e.src, e.dst, du, dv)
+
+
+# ------------------------------------------------------------------- d15
+
+
+def test_d15_containment_catches_full_quote(spark, sf_dir, specs, tmp_path):
+    """A short document fully quoted from a long one has containment ≈ 1
+    even though its Jaccard similarity is low — the asymmetric measure's
+    whole reason to exist. Plants quote = first 12 words of doc X."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.orderBy("doc_id").limit(1)
+    quote = base.select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 12), " ").alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        F.lit(60).cast("long").alias("n_chars"),
+    )
+    docs.unionByName(quote).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = specs["d15_containment_pairs"].builder(spark, str(tmp_path))
+    b, q = base.first().doc_id, quote.first().doc_id
+    hit = out.filter(
+        (F.col("doc_a") == min(b, q)) & (F.col("doc_b") == max(b, q))
+    ).collect()
+    assert hit and hit[0].containment >= 0.9, hit
