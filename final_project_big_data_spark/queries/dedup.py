@@ -1213,7 +1213,7 @@ d14.__doc__ = d14.__doc__.format(div=_CDC_DIV)
 # ------------------------------------------------- containment (overlap join)
 
 _CONT_TAU = 0.5
-_CONT_MAX_DF = 1024  # boilerplate guard: shingles in more docs carry no signal
+_CONT_MAX_DF = 128  # df cap: a shingle in more docs is boilerplate by declaration
 
 
 @query(
@@ -1256,9 +1256,14 @@ def d15(spark: SparkSession, sf: str) -> DataFrame:
     docs sharing a concrete shingle, shared-shingle counts come from one
     hash-agg on (doc_a, doc_b), and a document-frequency cap
     ({max_df}, the ``lsh_candidate_pairs`` degenerate-bucket guard
-    applied to raw shingles) drops boilerplate shingles whose buckets
-    would blow up quadratically while carrying no containment signal.
-    Set sizes join back broadcast-ably (one row per doc).
+    applied to raw shingles) BOUNDS the quadratic term: per kept
+    shingle at most C({max_df},2) ≈ 8k pairs, so total pair volume is
+    linear in distinct informative shingles. The cap is semantic, not
+    just a perf guard — a shingle ubiquitous across >{max_df} documents
+    is boilerplate by declaration and carries no containment evidence;
+    the oracle applies the identical HAVING bound, so the declared
+    measure ("containment over informative shingles") stays
+    hash-checked. Set sizes join back broadcast-ably (one row/doc).
     """
     sh = _shingled(spark, sf)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
