@@ -66,6 +66,8 @@ EXTRAS = [
     "d13_dedup_apply",
     "d14_cdc_chunks",
     "p04_temperature_resample",
+    "d15_containment_pairs",
+    "x09_bfs_distance",
 ]
 
 

@@ -6,7 +6,8 @@ Families over ``documents`` / ``embeddings``:
   content-defined chunking (d14: rolling-hash boundaries, insertion-stable)
 - MinHash + LSH banding (shingle → md5 minhash → band keys → bucket join)
 - SimHash (per-bit majority over md5-derived 32-bit word hashes)
-- n-gram Jaccard (blocked pairs, d05) and prefix-filter Jaccard (d11)
+- n-gram Jaccard (blocked pairs, d05), prefix-filter Jaccard (d11),
+  and asymmetric containment via the inverted-index overlap join (d15)
 - edit-distance pairs (d12: banded levenshtein over the same blocking)
 - embedding-cosine near-dup (d06) and SemDeDup on IVF clusters (d10)
 - duplicate clusters via connected components (d07), applied to the
