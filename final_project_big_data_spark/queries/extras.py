@@ -1290,3 +1290,81 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_no")
     )
+
+
+# ------------------------------------------------------ touch attribution
+
+
+@query(
+    "q110_last_touch_attribution",
+    oracle="""
+    WITH attributed AS (
+      SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_ts
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           click_id AS attributed_click,
+           CAST(floor(epoch(ts)) - floor(epoch(click_ts)) AS BIGINT)
+             AS delay_sec
+    FROM attributed WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+    category="events",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent preceding click (NULL when none exists yet), with the
+    click-to-purchase delay in seconds — the conversion-analytics shape
+    that q70 (sessionization) and q100 (funnel) don't cover: a
+    carry-forward join within the event stream rather than a gap split
+    or a stage count.
+
+    Plan: one shuffle on user_id for the running ``last(..., ignorenulls)``
+    window (the standard carry-forward idiom — no self-join, no as-of
+    join against a separate click table), then a filter to purchases.
+    The delay subtracts two unix timestamps, so any session timezone
+    cancels; the NULL attribution propagates through it untouched. Both
+    engines FLOOR to whole seconds before subtracting (the q66 idiom —
+    ``unix_timestamp`` truncates sub-second, DuckDB's ``epoch`` keeps
+    it, and CASTing the raw difference would round-half-even a
+    sub-second residue into ±1 s diffs).
+    """
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    is_click = F.col("event_type") == "click"
+    attributed = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("attributed_click"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "attributed_click",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+            ).alias("delay_sec"),
+        )
+        .orderBy("purchase_id")
+    )
