@@ -187,3 +187,109 @@ def w05(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("win_start", "rnk")
     )
+
+
+# ------------------------------------------------- watermark late accounting
+
+_ARR_JITTER = 20  # bounded disorder: arrival position = event_id + hash % 20
+_LATE_MIN = 30  # watermark delay, minutes
+_WM_BUCKET = 1024  # arrival-bucket width for the distributed prefix-max
+
+
+@query(
+    "w06_late_data_accounting",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, ts, event_id,
+             event_id + CAST('0x' || substr(md5('arr:' ||
+               CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % {_ARR_JITTER}
+               AS a
+      FROM events
+    ),
+    o AS (
+      SELECT event_type, ts,
+             max(ts) OVER (ORDER BY a, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE ts < pm - INTERVAL {_LATE_MIN} MINUTE)
+                AS BIGINT) AS n_late,
+           ROUND(count(*) FILTER (WHERE ts < pm - INTERVAL {_LATE_MIN} MINUTE)
+                 / CAST(count(*) AS DOUBLE), 4) AS late_frac
+    FROM o GROUP BY event_type ORDER BY event_type
+    """,
+    category="window-stream",
+)
+def w06(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark late-data accounting, as an oracle-paired BATCH twin of
+    the streaming C13 semantics (which SURVEY §5.2.3 could only verify
+    rows-only): an event is late iff its event time trails the maximum
+    event time of everything that ARRIVED before it by more than the
+    watermark delay ({late} min). Arrival order is a deterministic
+    bounded-disorder stream (position = event_id + md5-jitter < {jit}),
+    i.e. exactly the disorder model watermarks assume.
+
+    The Spark plan computes the global running max WITHOUT a
+    single-reducer window (the operators/quantiles.py discipline):
+    arrival buckets of width {bucket} (jitter < bucket ⇒ each bucket
+    holds ≤ bucket+{jit} rows) get an in-bucket exclusive prefix max in
+    bounded partitions; the cross-bucket exclusive max runs on the
+    buckets relation (n/{bucket} rows) and broadcasts back. The oracle
+    states the same thing as ONE naive global window — two independent
+    formulations of the prefix max must agree on every row's verdict.
+    """
+    e = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    jit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _ARR_JITTER
+    )
+    arr = e.withColumn("a", F.col("event_id") + jit).withColumn(
+        "bkt", (F.col("a") / _WM_BUCKET).cast("long")
+    )
+    win_in = (
+        W.partitionBy("bkt")
+        .orderBy("a", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bmax = arr.groupBy("bkt").agg(F.max("ts").alias("bts"))
+    win_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    prev = bmax.select("bkt", F.max("bts").over(win_b).alias("prev_max"))
+    scored = (
+        arr.withColumn("in_max", F.max("ts").over(win_in))
+        .join(F.broadcast(prev), "bkt")
+        .withColumn("pm", F.greatest("in_max", "prev_max"))
+    )
+    late = F.col("ts") < F.col("pm") - F.expr(
+        f"INTERVAL {_LATE_MIN} MINUTES"
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.round(
+                F.sum(F.when(late, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("late_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+w06.__doc__ = w06.__doc__.format(
+    late=_LATE_MIN, jit=_ARR_JITTER, bucket=_WM_BUCKET
+)

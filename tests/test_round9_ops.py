@@ -269,3 +269,17 @@ def test_d15_containment_catches_full_quote(spark, sf_dir, specs, tmp_path):
         (F.col("doc_a") == min(b, q)) & (F.col("doc_b") == max(b, q))
     ).collect()
     assert hit and hit[0].containment >= 0.9, hit
+
+
+# ------------------------------------------------------------------- w06
+
+
+def test_w06_produces_both_verdicts(spark, sf_dir, specs):
+    """The bounded-disorder arrival model must yield BOTH late and
+    on-time events at every fixture SF — a degenerate all-late or
+    all-on-time corpus would make the prefix-max comparison vacuous."""
+    out = specs["w06_late_data_accounting"].builder(spark, sf_dir)
+    tot = out.agg(
+        F.sum("n_total").alias("t"), F.sum("n_late").alias("l")
+    ).first()
+    assert 0 < tot.l < tot.t
