@@ -283,3 +283,28 @@ def test_w06_produces_both_verdicts(spark, sf_dir, specs):
         F.sum("n_total").alias("t"), F.sum("n_late").alias("l")
     ).first()
     assert 0 < tot.l < tot.t
+
+
+# ------------------------------------------------------------------ q110
+
+
+def test_q110_attribution_invariants(spark, sf_dir, specs):
+    """Attribution must be consistent in time: every attributed delay is
+    non-negative (the credited click precedes the purchase), and a NULL
+    attribution implies a NULL delay (never-clicked users)."""
+    out = specs["q110_last_touch_attribution"].builder(spark, sf_dir)
+    assert out.filter(F.col("delay_sec") < 0).count() == 0
+    assert (
+        out.filter(
+            F.col("attributed_click").isNull()
+            & F.col("delay_sec").isNotNull()
+        ).count()
+        == 0
+    )
+    assert (
+        out.filter(
+            F.col("attributed_click").isNotNull()
+            & F.col("delay_sec").isNull()
+        ).count()
+        == 0
+    )
