@@ -442,3 +442,56 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("n_status"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+# ------------------------------------------------------ partition pruning
+
+_PRUNE_YEAR = 1997
+
+
+@query(
+    "q111_partition_pruned_scan",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           ROUND(sum(o_totalprice), 2) AS price_sum
+    FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_PRUNE_YEAR}
+    """,
+    category="layout",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-pruned scan as a driver-checked contract: ``orders`` is
+    rewritten hive-partitioned by order year (``io.write_parquet``'s
+    partition_by — the 100 TB layout knob the reference never used,
+    SURVEY §2.1 O6), then queried for ONE year. The year predicate
+    resolves at PLANNING time against directory names — the scan's
+    PartitionFilters prune six of seven year directories before any
+    file IO (pinned by the executed-plan test in
+    tests/test_round9_ops.py), which at 100 TB is the difference
+    between reading one year and reading the decade. The oracle
+    computes the same facets from the unpartitioned source, proving the
+    partitioned rewrite loses no rows and the pruned scan reads exactly
+    the right ones.
+    """
+    import hashlib
+
+    from final_project_big_data_spark.io import write_parquet
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"q111_part_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    o = load_table(spark, sf, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    write_parquet(o, work, partition_by=["o_year"])
+    back = spark.read.parquet(work).filter(
+        F.col("o_year") == _PRUNE_YEAR
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )

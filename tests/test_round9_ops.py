@@ -308,3 +308,32 @@ def test_q110_attribution_invariants(spark, sf_dir, specs):
         ).count()
         == 0
     )
+
+
+# ------------------------------------------------------------------ q111
+
+
+def test_q111_scan_actually_prunes_partitions(spark, sf_dir, specs):
+    """The q111 read must resolve the year predicate against directory
+    names: the scan's PartitionFilters carry o_year and the planned
+    input files all come from the single o_year=<year> directory."""
+    import hashlib
+    import os as _os
+    import tempfile as _tf
+
+    specs["q111_partition_pruned_scan"].builder(spark, sf_dir).collect()
+    work = _os.path.join(
+        _tf.gettempdir(),
+        f"q111_part_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(work).filter(F.col("o_year") == 1997)
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "o_year" in seg, seg
+    files = back.select(F.input_file_name().alias("f")).distinct().collect()
+    assert files and all("o_year=1997" in r.f for r in files)
