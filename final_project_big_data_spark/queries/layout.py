@@ -495,3 +495,72 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_cust"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+# --------------------------------------------- dynamic partition pruning
+
+_DPP_BASE_YEAR = 1995
+
+
+@query(
+    "q112_dynamic_partition_pruning",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT CAST({_DPP_BASE_YEAR} + c_custkey % 3 AS INT) AS y
+      FROM customer WHERE c_custkey % 1000 = 7
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS row_cnt,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(sum(o_totalprice), 2) AS price_sum
+    FROM orders JOIN dim ON CAST(year(o_orderdate) AS INT) = dim.y
+    GROUP BY 1 ORDER BY o_year
+    """,
+    category="layout",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning: q111 proved PLANNING-time pruning
+    against a literal; this is the cluster-scale sibling where the
+    partitions to keep are only known at RUNTIME — the fact is joined
+    on its partition column to a dim whose qualifying keys come from a
+    scan. Spark broadcasts the dim and injects
+    ``dynamicpruningexpression(o_year IN dynamicpruning#N)`` into the
+    fact scan's PartitionFilters (pinned by the plan test), so the 100 TB
+    fact reads only the dim-selected year directories — the star-schema
+    pattern where static pruning can't help because the filter lives on
+    the dimension table. The oracle states the same join against the
+    unpartitioned source.
+    """
+    import hashlib
+
+    from final_project_big_data_spark.io import write_parquet
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"q112_dpp_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    o = load_table(spark, sf, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    write_parquet(o, work, partition_by=["o_year"])
+    fact = spark.read.parquet(work)
+    dim = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 1000 == 7)
+        .select(
+            (F.lit(_DPP_BASE_YEAR) + F.col("c_custkey") % 3)
+            .cast("int")
+            .alias("y")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.o_year == dim.y)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("row_cnt"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        .orderBy("o_year")
+    )

@@ -44,8 +44,9 @@ EAGER_BY_CONTRACT = {
     "q107_compaction_maintenance",
     # q109: the ORC roundtrip is a write job by definition
     "q109_orc_roundtrip",
-    # q111: the hive-partitioned rewrite is a write job by definition
+    # q111/q112: the hive-partitioned rewrites are write jobs by definition
     "q111_partition_pruned_scan",
+    "q112_dynamic_partition_pruning",
     # s06/s07: the persisted-index serving paths — the index build is a
     # write job by definition; the query sides stay the lazy probe plans
     "s06_persisted_lsh_topk",

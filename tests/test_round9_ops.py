@@ -337,3 +337,33 @@ def test_q111_scan_actually_prunes_partitions(spark, sf_dir, specs):
     assert "o_year" in seg, seg
     files = back.select(F.input_file_name().alias("f")).distinct().collect()
     assert files and all("o_year=1997" in r.f for r in files)
+
+
+# ------------------------------------------------------------------ q112
+
+
+def test_q112_dpp_expression_on_fact_scan(spark, sf_dir, specs):
+    """The fact scan must carry a runtime dynamicpruningexpression on
+    o_year — i.e. Spark plans to read only the dim-selected year
+    directories, not all of them."""
+    import hashlib
+    import os as _os
+    import tempfile as _tf
+
+    specs["q112_dynamic_partition_pruning"].builder(spark, sf_dir).collect()
+    work = _os.path.join(
+        _tf.gettempdir(),
+        f"q112_dpp_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    fact = spark.read.parquet(work)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 1000 == 7)
+        .select((F.lit(1995) + F.col("c_custkey") % 3).cast("int").alias("y"))
+        .distinct()
+    )
+    j = fact.join(dim, fact.o_year == dim.y).groupBy("o_year").count()
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression(o_year" in plan, plan[:2000]
