@@ -455,7 +455,8 @@ _PRUNE_YEAR = 1997
     SELECT CAST(count(*) AS BIGINT) AS row_cnt,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
-           ROUND(sum(o_totalprice), 2) AS price_sum
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
     FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_PRUNE_YEAR}
     """,
     category="layout",
@@ -493,7 +494,9 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("row_cnt"),
         F.sum("o_orderkey").alias("key_sum"),
         F.countDistinct("o_custkey").alias("n_cust"),
-        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
     )
 
 
@@ -512,7 +515,8 @@ _DPP_BASE_YEAR = 1995
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(count(*) AS BIGINT) AS row_cnt,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           ROUND(sum(o_totalprice), 2) AS price_sum
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
     FROM orders JOIN dim ON CAST(year(o_orderdate) AS INT) = dim.y
     GROUP BY 1 ORDER BY o_year
     """,
@@ -560,7 +564,9 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("row_cnt"),
             F.sum("o_orderkey").alias("key_sum"),
-            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
         )
         .orderBy("o_year")
     )
