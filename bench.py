@@ -68,6 +68,9 @@ EXTRAS = [
     "p04_temperature_resample",
     "d15_containment_pairs",
     "x09_bfs_distance",
+    "w06_late_data_accounting",
+    "q110_last_touch_attribution",
+    "q112_dynamic_partition_pruning",
 ]
 
 
