@@ -72,16 +72,20 @@ def dequantize_expr():
 
 
 def save_ivf_index(
-    spark: SparkSession, sf: str, path: str, quantize: bool = False
+    spark: SparkSession, sf: str, path: str, quantize: bool = False, where=None
 ) -> None:
     """Train the IVF quantizer on ``sf``'s embeddings (the same seeded
     init + one Lloyd pass as s03) and persist the three index frames.
     ``quantize=True`` stores the postings' vectors as int8 levels
     (s05's codec — the real serving layout: 1 byte/dim inverted lists,
-    dequantized at load into the identical scoring floats)."""
+    dequantized at load into the identical scoring floats).
+    ``where`` restricts BOTH training and the indexed postings to a
+    corpus slice — the base index of the incremental path
+    (``append_to_ivf_index`` adds later batches against the frozen
+    quantizer)."""
     from final_project_big_data_spark.queries.similarity import _ivf_assigned
 
-    _, cents, assigned, kdf = _ivf_assigned(spark, sf)
+    _, cents, assigned, kdf = _ivf_assigned(spark, sf, where=where)
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     postings = (
         _quantized_postings(assigned)
@@ -137,18 +141,155 @@ def ivf_topk_with_index(
     return _ivf_probe(probes_en, cents, assigned, kdf)
 
 
-def save_lsh_index(spark: SparkSession, sf: str, path: str) -> None:
+def append_to_ivf_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame
+) -> None:
+    """Add a batch to a persisted IVF index WITHOUT retraining: assign
+    ``new_vectors`` (vec_id, embedding) against the index's frozen
+    centroids and append the resulting postings into the existing
+    ``centroid_id=…`` partition directories.
+
+    This is the FAISS train-once/add-forever serving shape: at 100 TB a
+    nightly crawl delta is a few billion vectors — re-running Lloyd over
+    the whole corpus for every delta is a full-corpus job, while this
+    append touches only the delta (map-only assign against the ≤k-row
+    broadcast centroid table, one shuffle to co-locate each inverted
+    list's additions, and a partitioned append that writes exactly one
+    new file per touched list). Identity contract (pinned by s09's
+    cross-engine oracle and tests/test_round10_ops.py):
+    ``append(A, B)`` produces row-identical postings to indexing A∪B in
+    one shot against the SAME A-trained quantizer. Centroid drift — the
+    quantizer getting stale as appended data shifts the distribution —
+    is handled by the scheduled ``save_ivf_index`` rebuild, not by this
+    path; ``compact_ivf_postings`` handles the small-file accumulation
+    of many appends.
+
+    Quantization is auto-detected from the existing postings schema
+    (footer read, no data scan), so appends can't silently mix float
+    and int8 postings in one index.
+    """
+    from final_project_big_data_spark.operators.vector import dot_fold
+    from final_project_big_data_spark.queries.similarity import _hof_assign
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    postings_path = os.path.join(path, "postings")
+    quantized = "q" in spark.read.parquet(postings_path).columns
+    en = new_vectors.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nv", F.sqrt(dot_fold(F.col("v"), F.col("v"))))
+    assigned = _hof_assign(en, cents)
+    batch = (
+        _quantized_postings(assigned)
+        if quantized
+        else assigned.select("vec_id", "v", "nv", "centroid_id")
+    )
+    (
+        batch.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(postings_path)
+    )
+
+
+def append_to_lsh_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame
+) -> None:
+    """Add a batch to the persisted LSH hash tables: sign ``new_vectors``
+    (vec_id, embedding) with the SAME seeded hyperplanes (they depend
+    only on dim/planes/seed, never on the corpus) and append into the
+    existing ``bucket=…`` partitions. Because the hash function is
+    corpus-independent, ``append(A, B)`` is row-identical to
+    ``fresh(A ∪ B)`` — not just same-query-results but same index bytes
+    modulo file layout; s08 pins that equality against the fresh-build
+    oracle every round. Small-file accumulation across appends is
+    handled by ``compact_ivf_postings(path, subdir="tables")``."""
+    from final_project_big_data_spark.queries.similarity import _sign_vectors
+
+    en = new_vectors.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    (
+        _sign_vectors(en)
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "tables"))
+    )
+
+
+def compact_ivf_postings(
+    spark: SparkSession,
+    path: str,
+    subdir: str = "postings",
+    max_files_per_list: int = 4,
+) -> bool:
+    """Re-list maintenance: when appends have fragmented any inverted
+    list (partition directory) past ``max_files_per_list`` files, rewrite
+    the whole postings dataset back to one file per list and swap it in;
+    returns whether a rewrite happened.
+
+    Query cost on a partitioned index is driven by files-per-probed-list
+    (footer reads + task scheduling), which grows by one per append —
+    the same listing pathology ``io.compact_files`` exists for, applied
+    to the index layout (the threshold plays the role of q107's
+    byte-derived plan: bounded files per list, so query planning cost is
+    O(nprobe), not O(appends)). The rewrite is the append-side
+    ``repartition(partition_col)`` + partitioned write into a sibling
+    directory, then an atomic rename swap — readers opening the index
+    mid-compaction see either the old or the new layout, never a
+    half-deleted one (object-store deployments would publish a manifest
+    instead; the layout contract is the same).
+    """
+    import shutil
+
+    src = os.path.join(path, subdir)
+    part_col = None
+    worst = 0
+    for d in os.listdir(src):
+        full = os.path.join(src, d)
+        if "=" in d and os.path.isdir(full):
+            part_col = d.split("=", 1)[0]
+            n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+            worst = max(worst, n)
+    if part_col is None or worst <= max_files_per_list:
+        return False
+    tmp = src + ".compacting"
+    (
+        spark.read.parquet(src)
+        .repartition(part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(tmp)
+    )
+    old = src + ".old"
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    return True
+
+
+def save_lsh_index(
+    spark: SparkSession, sf: str, path: str, where=None
+) -> None:
     """Persist s02's LSH hash tables: the signed corpus
     (vec_id, v, nv, bucket) partitioned by bucket — the same
     build-once/query-forever posture as the IVF index. With 2^planes
     buckets, a multiprobe query touches 1 + planes bucket directories
     and the scan PRUNES to them (partition pruning); the per-bucket
     repartition applies the same one-file-per-list lesson as the IVF
-    postings write."""
+    postings write. ``where`` restricts the indexed slice (the base of
+    the incremental path — later batches arrive via
+    ``append_to_lsh_index``); the filter sits below the signing
+    projection, so Catalyst pushes it into the scan."""
     from final_project_big_data_spark.queries.similarity import _lsh_signed
 
+    signed = _lsh_signed(spark, sf)
+    if where is not None:
+        signed = signed.filter(where)
     (
-        _lsh_signed(spark, sf)
+        signed
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")

@@ -290,7 +290,8 @@ _TEMP_ALPHA = 0.5  # temperature exponent: p_lang ∝ n_lang^α
     oracle=f"""
     WITH stats AS (SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
     tot AS (
-      SELECT sum(n_avail) AS n_total, sum(pow(n_avail, {_TEMP_ALPHA})) AS z
+      SELECT sum(n_avail) AS n_total,
+             sum(pow(n_avail, {_TEMP_ALPHA}) ORDER BY lang) AS z
       FROM stats
     ),
     rates AS (
@@ -328,27 +329,35 @@ def p04(spark: SparkSession, sf: str) -> DataFrame:
 
     Per-document copy count = ⌊rate⌋ + (salted-md5 uniform < frac(rate)),
     so the resample is a pure function of (doc_id, corpus stats) — stable
-    across engines, runs, and partitionings; the oracle replays it bit
-    for bit. Plan: 5-row stats aggregate broadcast onto the scan; the
-    copy decision is map-side; one summary agg. At 100 TB the actual
-    materialization would be the same expression feeding
-    ``explode(sequence(1, n_copies))`` — still shuffle-free.
+    across engines, runs, and partitionings. For that claim to be LITERAL
+    the rates themselves must be bit-deterministic, and a distributed
+    float sum is not (association order follows partitioning; a last-ulp
+    z difference can flip a doc across the ``u < frac(rate)`` threshold —
+    ADVICE r9). So the O(#langs) per-lang stats are collected to the
+    driver, z is accumulated left-to-right in sorted-lang order, and the
+    literal rates are broadcast back into the plan; the oracle replays
+    the identical order with ``sum(... ORDER BY lang)``. The collect is
+    an O(#langs) metadata read (5 rows here, a few thousand at 100 TB),
+    not a data-path materialization. Plan: stats aggregate + driver knob
+    derivation; the copy decision is map-side; one summary agg. At
+    100 TB the actual materialization would be the same expression
+    feeding ``explode(sequence(1, n_copies))`` — still shuffle-free.
     """
     d = load_table(spark, sf, "documents")
-    stats = d.groupBy("lang").agg(F.count("*").alias("n_avail"))
-    tot = stats.agg(
-        F.sum("n_avail").alias("n_total"),
-        F.sum(F.pow("n_avail", F.lit(_TEMP_ALPHA))).alias("z"),
+    stat_rows = sorted(
+        (r["lang"], r["n_avail"])
+        for r in d.groupBy("lang").agg(F.count("*").alias("n_avail")).collect()
     )
-    rates = stats.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_avail",
-        (
-            F.pow("n_avail", F.lit(_TEMP_ALPHA))
-            / F.col("z")
-            * F.col("n_total")
-            / F.col("n_avail")
-        ).alias("rate"),
+    n_total = sum(n for _, n in stat_rows)
+    z = 0.0
+    for _, n in stat_rows:  # left-to-right in lang order == oracle's
+        z += float(n) ** _TEMP_ALPHA
+    rates = spark.createDataFrame(
+        [
+            (lang, n, (float(n) ** _TEMP_ALPHA) / z * n_total / n)
+            for lang, n in stat_rows
+        ],
+        "lang string, n_avail long, rate double",
     )
     u = (
         F.conv(

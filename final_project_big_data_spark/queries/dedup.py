@@ -111,9 +111,19 @@ def _minhash_exprs() -> list:
 
 
 def _shingled(spark: SparkSession, sf: str) -> DataFrame:
-    """documents → (doc_id, shingle) with 2-word shingles, distinct."""
-    d = widen(load_table(spark, sf, "documents")).select(
-        "doc_id", _words().alias("w")
+    """documents → (doc_id, shingle) with 2-word shingles, distinct.
+
+    Docs with < 2 words are filtered out BEFORE the transform: Spark's
+    ``sequence(1, 0)`` is a DESCENDING [1, 0] (unlike DuckDB's empty
+    ``generate_series(1, 0)``), so a 1-word doc would evaluate
+    ``element_at(w, 2)`` and abort the whole job — a real-corpus crash
+    the shingle-complete sf fixtures never exercised (found by the
+    round-10 short-doc pin, tests/test_round10_ops.py).
+    """
+    d = (
+        widen(load_table(spark, sf, "documents"))
+        .select("doc_id", _words().alias("w"))
+        .filter(F.size("w") >= 2)
     )
     shingles = F.expr(
         "transform(sequence(1, size(w) - 1),"
@@ -609,10 +619,18 @@ def d07(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "d13_dedup_apply",
     oracle=_CLUSTERS_SQL
-    + """
+    + """,
+    all_clusters AS (
+      SELECT doc_id, cluster_id FROM clusters
+      UNION ALL
+      SELECT doc_id, doc_id AS cluster_id
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+      WHERE len(w) < 2
+    )
     SELECT c.cluster_id AS doc_id, d.source, d.n_chars,
            CAST(count(*) AS BIGINT) AS n_merged
-    FROM clusters c JOIN documents d ON d.doc_id = c.cluster_id
+    FROM all_clusters c JOIN documents d ON d.doc_id = c.cluster_id
     GROUP BY c.cluster_id, d.source, d.n_chars
     ORDER BY doc_id
     """,
@@ -632,8 +650,22 @@ def d13(spark: SparkSession, sf: str) -> DataFrame:
     recursive-CTE oracle as d07 extended by the survivor join, so the
     whole pipeline — shingle → minhash → block → components → apply —
     stays value-hash-checked.
+
+    Documents with fewer than 2 words produce no shingles, so they never
+    enter the minhash/cluster graph — they are unioned back as singleton
+    survivors (cluster_id = own doc_id) in BOTH builder and oracle, so
+    the conservation property sum(n_merged) == corpus rows holds for ANY
+    corpus, not just shingle-complete fixtures (ADVICE r9; pinned in
+    tests/test_round10_ops.py with a short-doc corpus).
     """
     cc = _mh0_clusters(spark, sf)
+    singletons = (
+        widen(load_table(spark, sf, "documents"))
+        .select("doc_id", _words().alias("w"))
+        .filter(F.size("w") < 2)
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    cc = cc.unionByName(singletons)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("n_merged"))
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "source", "n_chars"
@@ -1113,15 +1145,21 @@ _CDC_BOUNDARY = (
     " element_at(w, i))), 1, 8), 16, 10) AS BIGINT)"
     f" % {_CDC_DIV} = 0"
 )
-_CDC_CHUNKS = f"""
+# exclusive end offsets = starts shifted left, with size(w)+1 appended;
+# materialized as its OWN column (``cdc_ends``) so the per-chunk lambda
+# below does a plain element_at instead of rebuilding the shifted array
+# per chunk — keeps extraction O(chunks), not O(chunks^2) (ADVICE r9)
+_CDC_ENDS = (
+    "concat(slice(cdc_starts, 2, size(cdc_starts) - 1),"
+    " array(size(w) + 1))"
+)
+_CDC_CHUNKS = """
     transform(
       sequence(1, size(cdc_starts)),
       j -> array_join(
              slice(w, element_at(cdc_starts, j),
-                   element_at(
-                     concat(slice(cdc_starts, 2, size(cdc_starts) - 1),
-                            array(size(w) + 1)), j)
-                   - element_at(cdc_starts, j)), ' '))
+                   element_at(cdc_ends, j) - element_at(cdc_starts, j)),
+             ' '))
 """
 
 
@@ -1188,6 +1226,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
     chunks = (
         d.filter(F.size("w") >= 2)
         .withColumn("cdc_starts", starts)
+        .withColumn("cdc_ends", F.expr(_CDC_ENDS))
         .select("doc_id", F.explode(F.expr(_CDC_CHUNKS)).alias("chunk"))
     )
     with_freq = chunks.withColumn(

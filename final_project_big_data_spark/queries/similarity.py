@@ -175,6 +175,17 @@ def _lsh_signed(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    return _sign_vectors(e)
+
+
+def _sign_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, v) → (vec_id, v, bucket, nv): the seeded hyperplane
+    signature applied to ANY vector frame. The planes depend only on
+    (dim, _N_PLANES, _LSH_SEED) — never on the corpus — which is what
+    makes the persisted LSH index APPENDABLE: signing a new batch in a
+    later job lands it in exactly the buckets a from-scratch rebuild
+    would pick (``append_to_lsh_index``; append(A,B) == fresh(A∪B) is
+    oracle-checked by s08)."""
     dim = 64
     planes = _hyperplanes(dim, _N_PLANES, _LSH_SEED)
     plane_lits = F.array(
@@ -462,11 +473,20 @@ def _row_argmax_sql(carr: str) -> str:
              'centroid_id')"""
 
 
-def _ivf_assign_sql() -> str:
+def _ivf_assign_sql(train_pred: str | None = None) -> str:
     """DuckDB mirror of the trained-IVF assignment (init → one Lloyd pass
     → final per-vector centroid), shared by s03's ANN oracle and d10's
     SemDeDup oracle. Ends at CTE ``assigned2`` = (vec_id, v, nv,
     centroid_id).
+
+    ``train_pred`` (s09, incremental index): when set, the quantizer —
+    knob k, seeded init, and the Lloyd means — is trained on the
+    ``en WHERE train_pred`` slice only, while ``assigned2`` still covers
+    the FULL corpus. That is exactly the serving semantics of
+    ``append_to_ivf_index``: later batches are assigned against the
+    frozen quantizer, never retrained (the FAISS train-once/add-forever
+    posture). Default None keeps the SQL byte-identical to the
+    all-corpus form the s03/s07/d10 oracles replay.
 
     Memory shape, round-6 revision (found at the 1000× sweep, third
     iteration of this lesson): the round-5 shape streamed the n×k
@@ -483,6 +503,12 @@ def _ivf_assign_sql() -> str:
     (``_row_argmax_sql``) — the n×k relation never exists, memory is
     O(k) per row, and no group-by ever sees more than n rows. The
     per-dim means then aggregate n rows (64 scalar avgs), not n×k."""
+    en_t = "en" if train_pred is None else "en_t"
+    train_cte = (
+        ""
+        if train_pred is None
+        else f"en_t AS (SELECT * FROM en WHERE {train_pred}),\n    "
+    )
     return f"""
     WITH en AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -490,16 +516,16 @@ def _ivf_assign_sql() -> str:
                                    embedding::DOUBLE[])) AS nv
       FROM embeddings
     ),
-    knob AS (
+    {train_cte}knob AS (
       SELECT least({_MAX_CENTROIDS}, greatest({_MIN_CENTROIDS},
                    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
-      FROM en
+      FROM {en_t}
     ),
     init AS (
       SELECT vec_id AS centroid_id, v AS cv, nv AS nc
       FROM (SELECT *, row_number() OVER
                 (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-            FROM en)
+            FROM {en_t})
       WHERE rn <= (SELECT k FROM knob)
     ),
     carr1 AS (
@@ -510,7 +536,7 @@ def _ivf_assign_sql() -> str:
     assigned1 AS (
       SELECT e.vec_id, e.v,
              {_row_argmax_sql("c.carr")} AS centroid_id
-      FROM en e CROSS JOIN carr1 c
+      FROM {en_t} e CROSS JOIN carr1 c
     ),
     means AS (
       SELECT centroid_id, list(m ORDER BY i) AS cv
@@ -582,7 +608,7 @@ def _s03_sql() -> str:
     """
 
 
-def _ivf_assigned(spark: SparkSession, sf: str):
+def _ivf_assigned(spark: SparkSession, sf: str, where=None):
     """Trained-IVF assignment shared by s03 (ANN) and d10 (SemDeDup):
     seeded md5 init → one Lloyd pass (``_lloyd_refine``) → per-vector
     argmax centroid. Returns (en, cents, assigned, kdf): ``en`` is the
@@ -608,6 +634,11 @@ def _ivf_assigned(spark: SparkSession, sf: str):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    if where is not None:
+        # train AND index only this slice — the incremental-index path
+        # (s09) builds on a subset, then appends the rest against the
+        # frozen quantizer
+        e = e.filter(where)
     en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
     kdf = en.agg(
         F.least(
@@ -1134,4 +1165,123 @@ def s07(spark: SparkSession, sf: str) -> DataFrame:
         f"s07_q8_ivf_index_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
     )
     save_ivf_index(spark, sf, path, quantize=True)
+    return ivf_topk_with_index(spark, path, _N_QUERIES)
+
+
+# ------------------------------------------ incremental index maintenance
+
+_SPLIT_A = "vec_id % 2 = 0"  # base-index slice for the append entries
+
+
+@query("s08_incremental_lsh_append", oracle=_s02_sql(), category="similarity")
+def s08(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental LSH index maintenance as a driver-checked entry
+    (round 10, VERDICT r9 #6): build the persisted hash tables from HALF
+    the corpus (vec_id even), ``append_to_lsh_index`` the other half as
+    a later batch, then answer the s02 query exclusively FROM the
+    appended index. The oracle is s02's fresh-build SQL over the FULL
+    corpus verbatim — so "append(A, B) == fresh(A ∪ B)" is not a pytest
+    claim but a per-round cross-engine value-hash check; it holds
+    EXACTLY because the hyperplane hash depends only on
+    (dim, planes, seed), never on the corpus. Eager by contract (two
+    write jobs); the query side stays the shared lazy ``_lsh_probe``,
+    pruning to the probed bucket directories regardless of how many
+    append batches populated them."""
+    import hashlib
+    import tempfile
+
+    from final_project_big_data_spark.operators.ivf_index import (
+        append_to_lsh_index,
+        lsh_topk_with_index,
+        save_lsh_index,
+    )
+
+    # deterministic per-corpus path — same no-accumulation rationale as s06
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"s08_lsh_append_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    save_lsh_index(spark, sf, path, where=F.expr(_SPLIT_A))
+    batch = (
+        widen(load_table(spark, sf, "embeddings"))
+        .filter(~F.expr(_SPLIT_A))
+        .select("vec_id", "embedding")
+    )
+    append_to_lsh_index(spark, path, batch)
+    return lsh_topk_with_index(spark, path, _N_QUERIES)
+
+
+def _s09_sql() -> str:
+    """s03's full IVF mirror with the quantizer TRAINED on the even-id
+    half only (``_ivf_assign_sql(train_pred)``): knob k, seeded init and
+    the Lloyd means see the base slice, while ``assigned2`` — the
+    postings — covers the full corpus. That is the exact relational
+    semantics of save(A) + append(B): the appended batch is assigned
+    against the frozen A-trained centroids."""
+    return _ivf_assign_sql(train_pred=_SPLIT_A) + f""",
+    aff_q AS (
+      SELECT e.vec_id, e.v AS qv, e.nv AS nq, c.centroid_id,
+             list_dot_product(e.v, c.cv) / (e.nv * c.nc) AS aff
+      FROM en e CROSS JOIN cents c
+      WHERE e.vec_id < {_N_QUERIES}
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qv, nq, centroid_id AS probe_centroid
+      FROM (SELECT vec_id, qv, nq, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY aff DESC, centroid_id ASC) AS rn
+            FROM aff_q)
+      WHERE rn <= (SELECT greatest({_MIN_NPROBE}, least({_MAX_NPROBE},
+                       CAST(ceil(k / 8.0) AS BIGINT))) FROM knob)
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             list_dot_product(p.qv, b.v) / (p.nq * b.nv) AS cs
+      FROM probes p JOIN assigned2 b
+        ON p.probe_centroid = b.centroid_id AND p.query_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cs DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= {_TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("s09_incremental_ivf_append", oracle=_s09_sql(), category="similarity")
+def s09(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF index maintenance as a driver-checked entry
+    (round 10, VERDICT r9 #6): train + persist the index on HALF the
+    corpus (vec_id even — ``save_ivf_index(where=...)``), add the other
+    half with ``append_to_ivf_index`` (assigned against the FROZEN
+    centroids, appended into the existing inverted-list partitions),
+    then answer the s03-shaped query from the appended index. The
+    oracle replays the whole lifecycle relationally — half-corpus knob
+    + seeded init + Lloyd, full-corpus assignment, probe ranking and
+    scoring — so append-equals-index-in-one-shot is value-hash checked
+    cross-engine per round. Centroid-drift rebuilds and small-file
+    re-listing are the separate maintenance jobs (``save_ivf_index``,
+    ``compact_ivf_postings``; fragmentation + swap pinned in
+    tests/test_round10_ops.py)."""
+    import hashlib
+    import tempfile
+
+    from final_project_big_data_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        ivf_topk_with_index,
+        save_ivf_index,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"s09_ivf_append_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    save_ivf_index(spark, sf, path, where=F.expr(_SPLIT_A))
+    batch = (
+        widen(load_table(spark, sf, "embeddings"))
+        .filter(~F.expr(_SPLIT_A))
+        .select("vec_id", "embedding")
+    )
+    append_to_ivf_index(spark, path, batch)
     return ivf_topk_with_index(spark, path, _N_QUERIES)

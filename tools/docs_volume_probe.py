@@ -82,9 +82,15 @@ def main() -> None:
         sp = sp[sorted(sp.columns)].reset_index(drop=True)
         du = du[sorted(du.columns)].reset_index(drop=True)
         du = du.astype(dict(sp.dtypes))
-        match = bool(len(sp) == len(du)) and bool(
-            pd.testing.assert_frame_equal(sp, du, check_exact=False) is None
-        )
+        # assert_frame_equal raises on mismatch — convert to a boolean so
+        # a divergence is reported in the per-entry JSON line and final
+        # report instead of killing the probe mid-loop (ADVICE r9).
+        match = len(sp) == len(du)
+        if match:
+            try:
+                pd.testing.assert_frame_equal(sp, du, check_exact=False)
+            except AssertionError:
+                match = False
         report["entries"][name] = {
             "rows": len(sp),
             "values_match": match,
