@@ -208,3 +208,60 @@ def test_compact_postings_swap_preserves_rows(spark, sf_dir, tmp_path):
         if d.startswith("centroid_id=")
     )
     assert worst == 1  # re-listed: one file per inverted list
+
+
+# ---------------------------------------------------------- AQE skew join
+# VERDICT r9 #4: the engine-level answer to skewed keys at 100 TB is
+# AQE's OptimizeSkewedJoin (q72's manual salting stays as the portable
+# fallback for sub-radar dims). Pin that the rule actually FIRES on a
+# genuinely skewed sort-merge join — executed-plan check, not config
+# hope.
+
+
+def test_aqe_skew_join_fires_on_hot_key(spark):
+    from pyspark.sql import functions as F2
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64k",
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # 60% of fact rows share key 0 -> one oversized shuffle partition
+        fact = spark.range(120_000).select(
+            F2.when(F2.col("id") % 5 < 3, 0)
+            .otherwise(F2.col("id") % 997)
+            .alias("k"),
+            F2.col("id").alias("payload"),
+        )
+        dim = spark.range(997).select(
+            F2.col("id").alias("k"), F2.md5(F2.col("id").cast("string")).alias("d")
+        )
+        agg = fact.join(dim, "k").groupBy().agg(
+            F2.count(F2.lit(1)).alias("n")
+        )
+        [row] = agg.collect()
+        assert row["n"] == 120_000  # inner join complete despite the split
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
