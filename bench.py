@@ -71,6 +71,8 @@ EXTRAS = [
     "w06_late_data_accounting",
     "q110_last_touch_attribution",
     "q112_dynamic_partition_pruning",
+    "s08_incremental_lsh_append",
+    "s09_incremental_ivf_append",
 ]
 
 

@@ -333,31 +333,41 @@ def p04(spark: SparkSession, sf: str) -> DataFrame:
     the rates themselves must be bit-deterministic, and a distributed
     float sum is not (association order follows partitioning; a last-ulp
     z difference can flip a doc across the ``u < frac(rate)`` threshold —
-    ADVICE r9). So the O(#langs) per-lang stats are collected to the
-    driver, z is accumulated left-to-right in sorted-lang order, and the
-    literal rates are broadcast back into the plan; the oracle replays
-    the identical order with ``sum(... ORDER BY lang)``. The collect is
-    an O(#langs) metadata read (5 rows here, a few thousand at 100 TB),
-    not a data-path materialization. Plan: stats aggregate + driver knob
-    derivation; the copy decision is map-side; one summary agg. At
-    100 TB the actual materialization would be the same expression
-    feeding ``explode(sequence(1, n_copies))`` — still shuffle-free.
+    ADVICE r9). So z is computed as an ORDERED fold: the O(#langs)
+    per-lang stats collect into one array, ``array_sort`` fixes lang
+    order, and ``aggregate(...)`` adds the pow terms left-to-right from
+    0.0 — association order is now part of the PLAN, not an accident of
+    partitioning. The oracle replays the identical order with
+    ``sum(... ORDER BY lang)`` (DuckDB's ordered aggregate is the same
+    sequential left-to-right accumulation). A plain sorted-partition sum
+    would NOT work: Spark's EliminateSorts drops sorts under
+    order-"insensitive" aggregates, silently reintroducing the bug.
+    Plan: 5-row stats aggregate broadcast onto the scan; the copy
+    decision is map-side; one summary agg; still lazy, no driver
+    materialization. At 100 TB the actual materialization would be the
+    same expression feeding ``explode(sequence(1, n_copies))`` — still
+    shuffle-free.
     """
     d = load_table(spark, sf, "documents")
-    stat_rows = sorted(
-        (r["lang"], r["n_avail"])
-        for r in d.groupBy("lang").agg(F.count("*").alias("n_avail")).collect()
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_avail"))
+    tot = stats.agg(
+        F.sum("n_avail").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "n_avail"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.pow(s["n_avail"].cast("double"), F.lit(_TEMP_ALPHA)),
+        ).alias("z"),
     )
-    n_total = sum(n for _, n in stat_rows)
-    z = 0.0
-    for _, n in stat_rows:  # left-to-right in lang order == oracle's
-        z += float(n) ** _TEMP_ALPHA
-    rates = spark.createDataFrame(
-        [
-            (lang, n, (float(n) ** _TEMP_ALPHA) / z * n_total / n)
-            for lang, n in stat_rows
-        ],
-        "lang string, n_avail long, rate double",
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_avail",
+        (
+            F.pow("n_avail", F.lit(_TEMP_ALPHA))
+            / F.col("z")
+            * F.col("n_total")
+            / F.col("n_avail")
+        ).alias("rate"),
     )
     u = (
         F.conv(

@@ -51,6 +51,10 @@ EAGER_BY_CONTRACT = {
     # write job by definition; the query sides stay the lazy probe plans
     "s06_persisted_lsh_topk",
     "s07_persisted_quantized_ivf",
+    # s08/s09: the incremental-index paths — base-index build + append
+    # are write jobs by definition; query sides stay the lazy probes
+    "s08_incremental_lsh_append",
+    "s09_incremental_ivf_append",
 }
 
 
