@@ -45,6 +45,47 @@ _STABLE_TYPES = ("byte", "short", "int", "integer", "bigint", "long",
                  "string", "date", "boolean")
 
 
+def strip_trailing_order_by(sql: str) -> str:
+    """Drop the TOP-LEVEL trailing ORDER BY from an oracle query.
+
+    Found at the 1000× sweep (round 10): DuckDB executes a subquery's
+    ORDER BY even under ``SELECT count(*) FROM (...)`` — q27's 600M-row
+    full sort spilled past this host's 60 GB temp-disk budget and killed
+    the sweep at the count GUARD, a query whose result cannot depend on
+    order. Both high-volume paths (count guard, sampled diff) are
+    order-insensitive — the driver-mimic canonicalization sorts rows —
+    so the outer ORDER BY is pure wasted work there. Depth/quote-aware
+    scan: ORDER BYs inside parens (CTE bodies, window OVER clauses) or
+    string literals are untouched, and a clause followed by LIMIT/OFFSET
+    (where order IS semantics) is left alone.
+    """
+    upper = sql.upper()
+    depth = 0
+    in_str = False
+    last = None
+    i = 0
+    while i < len(upper):
+        ch = upper[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith("ORDER BY", i):
+            last = i
+        i += 1
+    if last is None:
+        return sql
+    tail = upper[last:]
+    if "LIMIT" in tail or "OFFSET" in tail:
+        return sql
+    return sql[:last]
+
+
 def sample_predicates(df, fraction):
     """Deterministic cross-engine row sampler (round 7, VERDICT r6 #4).
 
@@ -217,8 +258,9 @@ def main() -> int:
                 print(f"FAIL {name}: {failures[name]}", flush=True)
                 continue
             if n_spark > max_rows:
+                unordered = strip_trailing_order_by(spec.oracle)
                 n_duck = con.execute(
-                    f"SELECT count(*) FROM ({spec.oracle})"
+                    f"SELECT count(*) FROM ({unordered})"
                 ).fetchone()[0]
                 if n_spark != n_duck:
                     failures[name] = (
@@ -243,7 +285,7 @@ def main() -> int:
                 rep = compare_driver_style(
                     spec.builder(spark, sf).filter(spark_pred),
                     con,
-                    f"SELECT * FROM ({spec.oracle}) WHERE {duck_pred}",
+                    f"SELECT * FROM ({unordered}) WHERE {duck_pred}",
                 )
                 if rep["ok"]:
                     print(
