@@ -189,6 +189,18 @@ def main() -> int:
             # 600M-row SMJ sort buffers only until q79; see
             # session.sized_driver_memory
             "spark.driver.memory": sized_driver_memory(sf),
+            # Bound shuffle-file retention (round 10): Spark deletes a
+            # query's shuffle files only after the JVM garbage-collects
+            # the ShuffleDependency (ContextCleaner), and a 38 GiB heap
+            # under no allocation pressure can go the whole sweep without
+            # a full GC — the round-10 single-pass 1000× sweep
+            # accumulated 45 GB of dead shuffle files across 180 entries
+            # and q95's own ~30 GB spill then hit "No space left on
+            # device" on this 80 GB host. Same failure mode as any
+            # long-lived multi-query driver at 100 TB: force the cleaner
+            # to run on a volume-scale cadence instead of the 30min
+            # default.
+            "spark.cleaner.periodicGC.interval": "2min",
         },
     )
     con = duckdb_connect(sf)
