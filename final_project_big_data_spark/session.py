@@ -356,6 +356,22 @@ def get_spark(
         # run-to-run noise by construction. 4096 entries ≈ a few hundred
         # MB of driver class metadata at worst, nothing at 100 TB scale.
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # Bound dead-shuffle retention (round 10). Spark deletes a finished
+        # query's shuffle files only when the JVM garbage-collects its
+        # ShuffleDependency (ContextCleaner) — and a large, pressure-free
+        # heap can defer that full GC for hours. Measured in the round-10
+        # single-pass 1000× sweep: 180 queries in one session accumulated
+        # 45 GB of dead shuffle files before q95's own spill hit "No space
+        # left on device". Locally the hazard is worse than disk: the
+        # local dir above is tmpfs, so dead shuffle blocks occupy RAM.
+        # 5min (default 30min) bounds retention to the GC cadence for any
+        # long-lived multi-query session; a forced full GC costs ~100 ms,
+        # invisible next to any real query and outside the bench's
+        # min-of-N readings.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
+        )
         # testdata events.ts is parquet timestamp[ns]; Spark 4 rejects NANOS
         # unless read as raw long (io.load_table converts to micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
