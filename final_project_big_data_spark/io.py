@@ -369,3 +369,50 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def register_stats_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | tuple[str, ...],
+) -> str:
+    """Register fixture tables as external catalog tables with CBO
+    statistics (round 11, SURVEY §4.2's last unexercised row).
+
+    Path-based ``spark.read.parquet`` plans carry only file-size
+    estimates, so the cost-based optimizer (``spark.sql.cbo.enabled``)
+    has nothing to reorder joins with — CBO needs CATALOG tables whose
+    row counts and column NDV/min/max were collected by ``ANALYZE
+    TABLE``. This helper creates an external ``USING parquet`` table per
+    fixture (no data copy — the table is a catalog pointer at the same
+    files every other builder scans) inside a per-corpus database
+    (md5 of ``sf_dir``, so two fixture dirs never share stats), then
+    runs ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`` — one
+    distributed scan per table collecting rowCount + per-column
+    NDV/min/max/null-count (HLL-approximate NDV, never a driver
+    materialization).
+
+    Idempotent per session AND cheap on re-entry: an already-registered
+    table is not re-analyzed (the driver invokes builders twice).
+    Returns the database name; query the tables as ``{db}.{name}``.
+
+    At 100 TB this is the nightly ``ANALYZE`` any warehouse runs: stats
+    collection scans once so every subsequent multi-join plan starts
+    from measured cardinalities instead of size-ratio guesses. AQE
+    complements but cannot replace it — AQE re-plans per-stage at
+    runtime yet never changes the join ORDER the optimizer committed to.
+    """
+    import hashlib
+
+    db = f"sg_stats_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for t in tables:
+        full = f"{db}.{t}"
+        if spark.catalog.tableExists(full):
+            continue
+        spark.sql(
+            f"CREATE TABLE {full} USING parquet "
+            f"LOCATION '{table_path(sf_dir, t)}'"
+        )
+        spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return db

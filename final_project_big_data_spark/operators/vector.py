@@ -179,6 +179,116 @@ def block_pair_cosine(
     )
 
 
+def probe_corpus_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Brute-force probe×corpus cosine scoring, Arrow-batched (round 11) —
+    the probe-side twin of ``block_pair_cosine``, closing s01's last
+    interpreted-fold hot path (VERDICT r10 #3).
+
+    ``corpus`` and ``probes`` each carry ``(vec_id, embedding)`` with the
+    embedding in its RAW storage type (array<float>): the kernel casts
+    float32→float64 per element (exact — same doubles as Spark's
+    ``cast``) and computes norms itself, so the np path shuffles HALF the
+    bytes of a pre-cast double column and pays zero interpreted-HOF
+    evaluation anywhere. The corpus is hash-bucketed into ``n_buckets``
+    groups; the (tiny) probe set is replicated to every bucket via an
+    ``explode(sequence(...))`` — no join, no driver side-input, fully
+    lazy. Each bucket's ``groupBy().applyInPandas`` kernel accumulates
+    norms and probe×chunk dot products dim-by-dim
+    (``S += Q[:, i:i+1] * V[None, :, i]``) — the exact left-to-right
+    per-pair summation order of ``dot_fold`` / DuckDB's
+    ``list_dot_product``, so oracle bit parity with the join +
+    ``sqrt(dot_fold)`` shape holds BY CONSTRUCTION — and emits only its
+    local per-probe top-k (cs DESC, neighbor_id ASC, self excluded).
+    Every corpus vector lives in exactly one bucket, so the union of
+    per-bucket top-k lists is a superset of the global top-k; the
+    caller's existing window does the final cut. Only
+    ``n_buckets × |probes| × k`` candidate rows ever cross Arrow back.
+
+    Scale posture: bucket width tracks ``spark.sql.shuffle.partitions``
+    (the caller passes it), so per-task memory is corpus_bytes /
+    n_buckets regardless of volume; the probe replication is
+    ``|probes| × n_buckets`` rows of 64 floats — noise.
+    """
+
+    def topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cs": pd.Series([], dtype="float64"),
+            }
+        )
+        is_p = pdf["is_probe"].to_numpy()
+        cp, pp = pdf[~is_p], pdf[is_p]
+        if not len(cp) or not len(pp):
+            return empty
+
+        def mat(part):
+            # float32 storage → float64 per element: exact, same doubles
+            # as Spark's cast; dim-by-dim self-dot == dot_fold order
+            M = np.stack(part["emb"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(M))
+            for i in range(M.shape[1]):
+                acc += M[:, i] * M[:, i]
+            return M, np.sqrt(acc)
+
+        order = np.argsort(cp["id"].to_numpy(), kind="stable")
+        ids = cp["id"].to_numpy()[order]
+        cp = cp.iloc[order]
+        V, nv = mat(cp)  # m × dim
+        qids = pp["id"].to_numpy()
+        Q, nq = mat(pp)  # t × dim
+        t, dim = Q.shape
+        S = np.zeros((t, len(ids)))
+        for i in range(dim):  # left fold over dims == dot_fold order
+            S += Q[:, i : i + 1] * V[None, :, i]
+        cs = S / (nq[:, None] * nv[None, :])
+        out_q, out_n, out_cs = [], [], []
+        for r in range(t):
+            row = cs[r]
+            sel = np.lexsort((ids, -row))
+            sel = sel[ids[sel] != qids[r]][:k]
+            out_q.append(np.full(len(sel), qids[r]))
+            out_n.append(ids[sel])
+            out_cs.append(row[sel])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cs": np.concatenate(out_cs),
+            }
+        )
+
+    b = F.lit(int(n_buckets)).cast("bigint")
+    cp = corpus.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("emb"),
+        F.lit(False).alias("is_probe"),
+        F.pmod(F.xxhash64("vec_id"), b).alias("bucket"),
+    )
+    pp = probes.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("emb"),
+        F.lit(True).alias("is_probe"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), b - F.lit(1).cast("bigint"))
+        ).alias("bucket"),
+    )
+    return (
+        cp.unionByName(pp)
+        .groupBy("bucket")
+        .applyInPandas(topk, schema="query_id bigint, neighbor_id bigint, cs double")
+    )
+
+
 # measured crossover (tools/pair_vec_probe.py, round 8): the kernel's
 # fixed Python-worker/Arrow stage loses at tiny volume and wins from
 # ~the 10× probe volume up — same data-sized posture as the IVF assign

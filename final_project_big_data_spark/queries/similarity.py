@@ -58,37 +58,63 @@ _N_QUERIES = 10  # probe set: vec_id < 10
     category="similarity",
 )
 def s01(spark: SparkSession, sf: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast probes × corpus, window top-k.
+    """Brute-force cosine top-k — two-kernel (round 11, VERDICT r10 #3).
 
-    Norms are computed once per side BEFORE the join — the pair expression
-    is a single dot product. Higher-order array functions are interpreted
-    per element, so evaluating 3 of them per pair (dot + both norms) costs
-    3× this plan; same floats, same order, so the oracle still hash-matches
-    (``sqrt(dot(x,x))`` per row == per pair). The fold itself is the
-    measured-fastest formulation — see operators/vector.py for the
-    benchmarked-and-rejected alternatives.
+    Norms are computed once per side BEFORE the pair scoring — the pair
+    expression is a single dot product. Kernel choice follows the same
+    input-bytes switch as d06/s04/d10 (``pair_kernel``):
+
+    - **join** (tiny inputs): broadcast probes × corpus equi-join with the
+      interpreted HOF fold — zero Python-worker setup, wins below ~4 MiB.
+    - **np** (at scale): ``operators.vector.probe_corpus_topk`` — the
+      corpus is hash-bucketed, probes replicated per bucket, and each
+      bucket scores probe×chunk as NumPy dim-by-dim column sweeps in the
+      exact ``dot_fold`` accumulation order (bit parity by construction,
+      pinned by tests/test_similarity.py::test_s01_probe_kernels_bit_parity);
+      only per-bucket top-k survivors cross Arrow back.
+
+    Both kernels feed the same global window top-k tail, so the oracle
+    hash-matches either way (``sqrt(dot(x,x))`` per row == per pair).
+    See operators/vector.py for the benchmarked-and-rejected third
+    alternatives (unrolled expression, corpus-broadcast GEMM).
     """
-    e = widen(load_table(spark, sf, "embeddings")).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    from final_project_big_data_spark.operators.vector import (
+        pair_kernel,
+        probe_corpus_topk,
     )
-    en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    q = en.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nv").alias("nq"),
+
+    raw = widen(load_table(spark, sf, "embeddings")).select(
+        "vec_id", "embedding"
     )
-    scored = (
-        en.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                _dot(F.col("qv"), F.col("v"))
-                / (F.col("nq") * F.col("nv"))
-            ).alias("cs"),
+    if pair_kernel(sf) == "np":
+        n_buckets = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    )
+        scored = probe_corpus_topk(
+            raw, raw.filter(F.col("vec_id") < _N_QUERIES), _TOP_K, n_buckets
+        )
+    else:
+        e = raw.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        en = e.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        q = en.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+        )
+        scored = (
+            en.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (
+                    _dot(F.col("qv"), F.col("v"))
+                    / (F.col("nq") * F.col("nv"))
+                ).alias("cs"),
+            )
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     # tiny_sorted: the output is bounded at _N_QUERIES*_TOP_K rows; a
     # plain orderBy would re-execute the window pipeline for range-bound

@@ -203,6 +203,31 @@ def test_pair_kernels_bit_parity(spark, sf_dir, monkeypatch):
         assert outs[0] == outs[1], name
 
 
+def test_s01_probe_kernels_bit_parity(spark, sf_dir, monkeypatch):
+    """s01's round-11 probe×corpus NumPy kernel (operators/vector.
+    probe_corpus_topk) must be BIT-IDENTICAL to the broadcast-join +
+    interpreted dot_fold shape: same floats (dim-by-dim left fold ==
+    zip_with/aggregate order), same survivors, same ranks. Also pins the
+    superset argument — per-bucket top-k union → global window ≡ global
+    top-k over all pairs — at several bucket widths, including buckets
+    ≫ rows (empty/probe-only groups) and 1 bucket (whole corpus in one
+    group)."""
+    outs = []
+    for kern in ("join", "np"):
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_KERNEL", kern)
+        outs.append(all_specs()["s01_cosine_topk"].builder(spark, sf_dir).collect())
+    assert outs[0] == outs[1]
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_KERNEL", "np")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for b in ("1", "7", "4096"):
+            spark.conf.set("spark.sql.shuffle.partitions", b)
+            got = all_specs()["s01_cosine_topk"].builder(spark, sf_dir).collect()
+            assert got == outs[0], f"buckets={b}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_pair_kernel_sized_to_input(monkeypatch, sf_dir):
     """Kernel choice is metadata-only (lazy-safe): tiny fixtures take the
     join shape, at-scale (or unstat-able cluster) paths take NumPy; the

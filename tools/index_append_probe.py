@@ -39,6 +39,14 @@ def _timed(fn):
     return round(time.perf_counter() - t0, 2)
 
 
+def _timed_min(fn, n=3):
+    """min-of-n wall time — equalizes JVM/codegen/page-cache warm-up so the
+    fragmented-vs-compacted query comparison reads layout, not cache state
+    (ADVICE r10: a single fragmented-first reading handed the compacted
+    layout a warm-cache head start)."""
+    return min(_timed(fn) for _ in range(n))
+
+
 def _noop(df):
     df.write.mode("overwrite").format("noop").save()
 
@@ -89,54 +97,73 @@ def main() -> None:
         for r in (0, 10, 20, 30, 40)
     ]
 
-    for family, save, append, query, subdir in (
-        ("lsh", save_lsh_index, append_to_lsh_index, lsh_topk_with_index,
-         "tables"),
-        ("ivf", save_ivf_index, append_to_ivf_index, ivf_topk_with_index,
-         "postings"),
-    ):
-        fresh_path = f"/tmp/idx_probe_{family}_fresh"
-        inc_path = f"/tmp/idx_probe_{family}_inc"
-        for p in (fresh_path, inc_path):
-            shutil.rmtree(p, ignore_errors=True)
+    try:
+        for family, save, append, query, subdir in (
+            ("lsh", save_lsh_index, append_to_lsh_index, lsh_topk_with_index,
+             "tables"),
+            ("ivf", save_ivf_index, append_to_ivf_index, ivf_topk_with_index,
+             "postings"),
+        ):
+            fresh_path = f"/tmp/idx_probe_{family}_fresh"
+            inc_path = f"/tmp/idx_probe_{family}_inc"
+            for p in (fresh_path, inc_path):
+                shutil.rmtree(p, ignore_errors=True)
 
-        fresh_sec = _timed(lambda: save(spark, sf, fresh_path))
-        base_sec = _timed(lambda: save(spark, sf, inc_path, where=base_pred))
-        append_sec = _timed(
-            lambda: [append(spark, inc_path, b) for b in batches]
-        )
-        part_dir = os.path.join(inc_path, subdir)
-        frag_files = _max_files(part_dir)
-        frag_query_sec = _timed(lambda: _noop(query(spark, inc_path, N_QUERIES)))
-        compact_sec = _timed(
-            lambda: compact_ivf_postings(
-                spark, inc_path, subdir=subdir, max_files_per_list=4
+            fresh_sec = _timed(lambda: save(spark, sf, fresh_path))
+            base_sec = _timed(
+                lambda: save(spark, sf, inc_path, where=base_pred)
             )
-        )
-        compact_files = _max_files(part_dir)
-        compact_query_sec = _timed(
-            lambda: _noop(query(spark, inc_path, N_QUERIES))
-        )
-        print(
-            json.dumps(
-                {
-                    "index": family,
-                    "vectors": n,
-                    "fresh_build_sec": fresh_sec,
-                    "base_build_sec": base_sec,
-                    "append_10pct_sec": append_sec,
-                    "append_vs_rebuild": round(append_sec / fresh_sec, 3),
-                    "max_files_per_list_fragmented": frag_files,
-                    "max_files_per_list_compacted": compact_files,
-                    "compact_sec": compact_sec,
-                    "query_sec_fragmented": frag_query_sec,
-                    "query_sec_compacted": compact_query_sec,
-                }
-            ),
-            flush=True,
-        )
+            # per-batch timings so SCALE.md's "2%-delta append" marginal
+            # numbers are directly reproducible from this JSON (ADVICE r10:
+            # the doc previously hand-divided the 5-batch total by 5)
+            append_batch_secs = [
+                _timed(lambda b=b: append(spark, inc_path, b))
+                for b in batches
+            ]
+            append_sec = round(sum(append_batch_secs), 2)
+            part_dir = os.path.join(inc_path, subdir)
+            frag_files = _max_files(part_dir)
+            # min-of-3 on BOTH layouts: the first fragmented run also
+            # serves as warm-up, so fragmented vs compacted compare at
+            # equal cache/JVM state (ADVICE r10)
+            frag_query_sec = _timed_min(
+                lambda: _noop(query(spark, inc_path, N_QUERIES))
+            )
+            rewrote = False
 
-    spark.stop()
+            def _compact():
+                nonlocal rewrote
+                rewrote = compact_ivf_postings(
+                    spark, inc_path, subdir=subdir, max_files_per_list=4
+                )
+
+            compact_sec = _timed(_compact)
+            compact_files = _max_files(part_dir)
+            compact_query_sec = _timed_min(
+                lambda: _noop(query(spark, inc_path, N_QUERIES))
+            )
+            print(
+                json.dumps(
+                    {
+                        "index": family,
+                        "vectors": n,
+                        "fresh_build_sec": fresh_sec,
+                        "base_build_sec": base_sec,
+                        "append_10pct_sec": append_sec,
+                        "append_per_batch_sec": append_batch_secs,
+                        "append_vs_rebuild": round(append_sec / fresh_sec, 3),
+                        "max_files_per_list_fragmented": frag_files,
+                        "max_files_per_list_compacted": compact_files,
+                        "compact_rewrote": rewrote,
+                        "compact_sec": compact_sec,
+                        "query_sec_fragmented": frag_query_sec,
+                        "query_sec_compacted": compact_query_sec,
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
