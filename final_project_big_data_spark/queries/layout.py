@@ -570,3 +570,75 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ------------------------------------------------- cost-based optimization
+
+_CBO_TABLES = ("lineitem", "orders", "supplier", "part", "nation")
+
+
+def _q113_sql(prefix: str = "") -> str:
+    """The deliberately badly-ordered 5-way join: the fact joins the OTHER
+    fact (orders) first and meets the selective dim (part, LIKE-filtered
+    to ~1/6) last — the syntactic order a naive query author writes.
+    ``prefix`` qualifies table names with the stats database on the Spark
+    side; the oracle runs the same text over DuckDB's views (its own
+    optimizer reorders freely — join order never changes the result)."""
+    p = prefix
+    return f"""
+    SELECT n.n_name AS n_name,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM {p}lineitem l
+    JOIN {p}orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN {p}supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN {p}part p     ON p.p_partkey = l.l_partkey
+    JOIN {p}nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name
+    ORDER BY n_name
+    """
+
+
+@query(
+    "q113_cbo_join_reorder",
+    oracle=_q113_sql(),
+    category="optimizer",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """Cost-based join reordering as a driver-checked contract (round 11,
+    SURVEY §4.2's last unexercised row).
+
+    The fixture tables are registered as external catalog tables with
+    ``ANALYZE TABLE ... FOR ALL COLUMNS`` stats (io.register_stats_tables),
+    then the badly-ordered join above runs under ``spark.sql.cbo.enabled``
+    + ``spark.sql.cbo.joinReorder.enabled``: Catalyst's DP reorder uses
+    the measured row counts / NDVs to move the LIKE-filtered ``part``
+    dimension BELOW the lineitem⋈orders fact-fact join — the plan change
+    AQE alone can never make (AQE switches strategies and coalesces
+    partitions at runtime but never changes the join order the optimizer
+    committed to; pinned by tests/test_cbo.py). At 100 TB, joining the
+    selective dim first is the difference between shuffling every
+    lineitem row into the orders join and shuffling ~1/6 of them.
+
+    CBO confs are session-global, so the builder executes the plan
+    eagerly under the flipped confs (``localCheckpoint``) and restores
+    them before returning — the shared-session sweep never sees CBO
+    enabled (eager-by-contract, like the q111 write jobs). The oracle
+    checks the reordered plan computes the identical result.
+    """
+    from final_project_big_data_spark.io import register_stats_tables
+
+    db = register_stats_tables(spark, sf, list(_CBO_TABLES))
+    old = {
+        k: spark.conf.get(k, "false")
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    try:
+        for k in old:
+            spark.conf.set(k, "true")
+        return spark.sql(_q113_sql(f"{db}.")).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -47,6 +47,10 @@ EAGER_BY_CONTRACT = {
     # q111/q112: the hive-partitioned rewrites are write jobs by definition
     "q111_partition_pruned_scan",
     "q112_dynamic_partition_pruning",
+    # q113: ANALYZE stats collection + the eager-CBO localCheckpoint are
+    # jobs by definition (CBO confs are session-global, so the plan must
+    # execute while they're flipped and restore them before returning)
+    "q113_cbo_join_reorder",
     # s06/s07: the persisted-index serving paths — the index build is a
     # write job by definition; the query sides stay the lazy probe plans
     "s06_persisted_lsh_topk",
