@@ -44,7 +44,8 @@ def all_specs() -> dict[str, QuerySpec]:
         connectors,
         curation,
         dedup,
-        extras,
+        dedup_text,
+        eventflow,
         layout,
         mlq,
         mmq,
@@ -52,10 +53,12 @@ def all_specs() -> dict[str, QuerySpec]:
         similarity,
         stats,
         streamlike,
+        scalar_extras,
         subqueries,
         textops,
         tpch_shapes,
         udfs,
+        warehouse,
     )
 
     return SPECS

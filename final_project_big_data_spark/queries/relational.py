@@ -14,6 +14,8 @@ The reference exercises only scan/project/JSON of this surface
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -342,22 +344,28 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     category="join",
 )
 def q14(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: filter → eager pre-agg → 3-way join → top-k.
+    """TPC-H Q3 shape: filter → 3-way join → agg → top-k (join-first).
 
-    Round 6 (VERDICT r5 #2): lineitem revenue is aggregated to
-    ``(l_orderkey, revenue)`` BELOW the joins. The GROUP BY key set
-    (l_orderkey, o_orderdate) is really just l_orderkey — o_orderdate is
-    functionally dependent through the n:1 join — and orders/customer
-    only FILTER lineitem groups (each lineitem row matches ≤1 order), so
-    pre-aggregating is semantics-preserving: same groups, same sums, and
-    the join input drops from every qualifying lineitem to one row per
-    distinct qualifying orderkey (~4:1 at TPC-H fan-out). The pre-agg
-    shuffle moves partial aggregates (map-side combine), not raw rows —
-    MEASURED round 7 (tools/q14_bytes.py, SCALE.md): 2.9× fewer
-    fact-stage shuffle bytes at 100× (398 vs 1154 MB), ratio growing
-    with volume, at a ~25% local-wall cost (tmpfs shuffle ≈ free bytes)
-    that a network-shuffle cluster flips. Wall: 0.377 → 0.298 s at
-    sf0.1; 10×/100× rows in SCALE.md's q14 study. No broadcast hint on customer: a 1/5-filtered customer is
+    Round 11 re-litigation of the round-6 eager pre-agg (VERDICT r10 #1):
+    the 1000× decomposition (tools/q14_volume_study.py, SCALE.md r11)
+    located q14's whole gap in the pre-agg itself — a ~45M-group
+    hash aggregate over every qualifying lineitem BEFORE the joins cut
+    them 5× — while the scan Spark was long blamed for runs 0.51× (i.e.
+    FASTER than DuckDB) at 600M rows. Join-first re-measured faster at
+    every volume on the current engine (sf0.1 0.385→0.327 s, 100×
+    3.60→2.82 s, 1000× 32.4→22.6 s, min-of-N idle host); the round-6
+    numbers that favored pre-agg at sf0.1 predate the codegen-cache and
+    AQE-advisory fixes and no longer reproduce. The groupBy after the
+    join needs NO extra exchange: the join leaves rows hash-partitioned
+    by l_orderkey, which already clusters (l_orderkey, o_orderdate) —
+    o_orderdate is functionally dependent through the n:1 join.
+
+    The pre-agg shape remains available via ``SPARK_GRAFT_Q14_PREAGG=1``
+    for network-shuffle clusters: it still moves 2.9× fewer fact-stage
+    shuffle bytes (tools/q14_bytes.py, round 7), a trade tmpfs shuffle
+    makes invisible locally but wire bytes can flip — a cluster
+    submitter should A/B it there, with the byte numbers already
+    recorded. No broadcast hint on customer: a 1/5-filtered customer is
     broadcastable locally (the planner auto-hints it) but NOT at 100 TB —
     the shape must survive both regimes.
     """
@@ -370,17 +378,36 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
     )
-    rev = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "_rev"
+    if os.environ.get("SPARK_GRAFT_Q14_PREAGG", "") == "1":
+        rev = li.groupBy("l_orderkey").agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("_rev")
         )
-    )
+        return (
+            rev.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select(
+                "l_orderkey",
+                F.round(F.col("_rev"), 4).alias("revenue"),
+                F.col("o_orderdate").cast("date").alias("orderdate"),
+            )
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(20)
+        )
     return (
-        rev.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
         .select(
             "l_orderkey",
-            F.round(F.col("_rev"), 4).alias("revenue"),
+            "revenue",
             F.col("o_orderdate").cast("date").alias("orderdate"),
         )
         .orderBy(F.desc("revenue"), "l_orderkey")

@@ -121,7 +121,54 @@ def sample_predicates(df, fraction):
     return spark_pred, duck_pred, cols
 
 
+def freshness() -> int:
+    """``--freshness``: per-entry driver-visible evidence age, at a glance
+    (round 11, VERDICT r10 #8).
+
+    With ~200 registry entries and the driver's 50-per-round cap, an
+    entry's last hash-checked CORRECTNESS row can age several rounds even
+    though the stalest-green-first rotation bounds the worst case. This
+    mode folds every CORRECTNESS_r*.json (the same fold the rotation
+    itself uses, ``__spark_entry__._driver_history``) into a markdown
+    table — status, last-verified round, age in rounds — so staleness is
+    READ, not computed. Exit 1 if any entry has a recorded failure newer
+    than its last green (the rotation would front-queue it anyway, but a
+    red row here means the next driver round matters).
+    """
+    import importlib
+    import os as _os
+
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    entry_mod = importlib.import_module("__spark_entry__")
+    from final_project_big_data_spark.queries import all_specs
+
+    specs = all_specs()
+    hist = entry_mod._driver_history(specs)
+    latest = max((r for _s, r in hist.values()), default=0)
+    print(f"# Driver-evidence freshness (latest recorded round: r{latest})\n")
+    print("| entry | status | last driver round | age (rounds) |")
+    print("|---|---|---|---|")
+    failed = []
+    for name in sorted(specs):
+        status, rnd = hist.get(name, ("never", 0))
+        age = latest - rnd if rnd else "—"
+        print(f"| `{name}` | {status} | r{rnd if rnd else '—'} | {age} |")
+        if status == "failed":
+            failed.append(name)
+    never = [n for n in sorted(specs) if n not in hist]
+    print(
+        f"\n{len(specs)} entries: "
+        f"{sum(1 for n in specs if hist.get(n, ('never',))[0] == 'green')} green, "
+        f"{len(failed)} failed, {len(never)} never driver-checked."
+    )
+    if failed:
+        print("FAILED (front of next rotation):", ", ".join(failed))
+    return 1 if failed else 0
+
+
 def main() -> int:
+    if "--freshness" in sys.argv:
+        return freshness()
     # Spill to DISK, not tmpfs (round 7): the session factory's tmpfs
     # local dir is a bench-speed choice, but tmpfs pages COUNT AS RAM —
     # a 1000× sweep's ~45 GB shuffle spill sat beside the 38 GiB JVM

@@ -148,7 +148,7 @@ def test_prefix_filter_jaccard_no_false_negatives(spark, sf_dir):
     as lossless for the threshold."""
     from final_project_big_data_spark.io import load_table
     from final_project_big_data_spark.queries import all_specs
-    from final_project_big_data_spark.queries.dedup import _PPJ_T
+    from final_project_big_data_spark.queries.dedup_text import _PPJ_T
 
     docs = {
         r.doc_id: frozenset(r.text.strip().split())

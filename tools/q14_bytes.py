@@ -46,8 +46,13 @@ def build(shape: str, spark, sf: str):
         F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
     )
     if shape == "preagg":
+        import os
+
         from final_project_big_data_spark.queries import all_specs
 
+        # round 11: the registry default flipped to join-first; the env
+        # knob selects the byte-saving pre-agg variant this tool measures
+        os.environ["SPARK_GRAFT_Q14_PREAGG"] = "1"
         return all_specs()["q14_multiway_join"].builder(spark, sf)
     joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
         c, F.col("c_custkey") == F.col("o_custkey")

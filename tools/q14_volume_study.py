@@ -14,9 +14,13 @@ This probe does both measurements at the given copies (default 1000,
    nested prefixes of the same plan so the residual has names:
    - ``scan``: lineitem shipdate-filter + 3-col project (the bytes
      DuckDB's late-materializing scan reads lazily);
-   - ``preagg``: + groupBy(l_orderkey).sum (the map-side-combine
-     shuffle);
-   - ``full``: + orders/customer joins + top-k (the headline builder).
+   - ``preagg``: + groupBy(l_orderkey).sum — the round-6 eager pre-agg
+     stage, kept as a named stage precisely because this study found it
+     to BE the gap (SCALE.md r11) and the headline reverted to
+     join-first;
+   - ``full``: + orders/customer joins + top-k (the registry builder —
+     join-first from round 11; set SPARK_GRAFT_Q14_PREAGG=1 to time the
+     historical shape).
    DuckDB runs the same prefixes compute-only (CTAS temp, the noop-sink
    analogue).
 2. **Headline shape over the month-partitioned layout** (reuses
@@ -58,8 +62,76 @@ def main() -> None:
     from final_project_big_data_spark.session import get_spark
     from tools.scale_probe import materialize, materialize_partitioned
 
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    copies = int(args[0]) if args else 1000
+    runs = int(args[1]) if len(args) > 1 else 3
+
+    if "--materialize-only" in sys.argv:
+        # the one-shot partitioned rewrite shuffles the FULL-WIDTH fact
+        # (600M rows x 16 cols at 1000x, ~40 GB of lz4 shuffle blocks) —
+        # on the session factory's tmpfs local dir that is a kernel OOM
+        # (measured: 116 GB of dead shuffle in /dev/shm killed the JVM),
+        # and even on disk it races the 56 GB free. So this phase runs in
+        # its own process with SPARK_LOCAL_DIRS on disk (the
+        # sweep_registry rule) AND, at >=1000 copies, writes YEAR BY YEAR:
+        # same final layout (one file per l_shipym dir), but each job's
+        # shuffle is ~1/7 of the fact and is GC-reclaimed before the next
+        # — peak scratch stays bounded by a year, not the decade. The
+        # exact trick a real warehouse backfill uses.
+        spark = get_spark(app_name="q14_materialize")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            flat = materialize(copies)
+            if copies < 1000:
+                materialize_partitioned(spark, copies)
+                return
+            from pyspark.sql import functions as F
+
+            from final_project_big_data_spark.io import load_table
+
+            out = f"{flat}_part"
+            dst = os.path.join(out, "lineitem.parquet")
+            if os.path.exists(dst):
+                return
+            os.makedirs(out, exist_ok=True)
+            tmp = f"{dst}.tmp"
+            li = load_table(spark, flat, "lineitem").withColumn(
+                "l_shipym", F.date_format("l_shipdate", "yyyy-MM")
+            )
+            years = [
+                r[0]
+                for r in li.select(
+                    F.year("l_shipdate").alias("y")
+                ).distinct().collect()
+            ]
+            for y in sorted(years):
+                (
+                    li.filter(F.year("l_shipdate") == y)
+                    .repartition(F.col("l_shipym"))
+                    .write.mode("append")
+                    .partitionBy("l_shipym")
+                    .parquet(tmp)
+                )
+                # release the finished job's ShuffleDependency now so its
+                # shuffle blocks free before the next year's job needs
+                # the disk (ContextCleaner acts on JVM GC)
+                spark.sparkContext._jvm.System.gc()
+            os.rename(tmp, dst)
+        finally:
+            spark.stop()
+        return
+
+    part_dst = f"/tmp/spark_graft_scale_probe_x{copies}_part/lineitem.parquet"
+    if not os.path.exists(part_dst):
+        import subprocess
+
+        env = dict(os.environ, SPARK_LOCAL_DIRS="/tmp/q14_mat_local")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(copies),
+             "--materialize-only"],
+            check=True,
+            env=env,
+        )
 
     spark = get_spark(app_name="q14_volume_study")
     spark.sparkContext.setLogLevel("ERROR")

@@ -28,8 +28,14 @@ Round 10 (VERDICT r9 #2/#3) additions:
   O(watermark horizon), not O(stream)) and exactly-once row counts
   across the restart.
 
+Round 11 (VERDICT r10 #4): ``--changelog`` enables RocksDB **changelog
+checkpointing** (``rocksdb.changelogCheckpointing.enabled`` — per-batch
+uploads ship the delta log instead of snapshotting the full store; the
+conf the 100 TB posture names for large-state/short-trigger pipelines).
+Only meaningful with ``--provider=rocksdb``.
+
 Usage:  python tools/streaming_volume_probe.py [copies] [n_files] [files_per_trigger]
-            [--provider=rocksdb] [--shatter-users=K] [--ops=a,b,...]
+            [--provider=rocksdb] [--changelog] [--shatter-users=K] [--ops=a,b,...]
 Prints one JSON line per ladder rung:
   {"op": ..., "rows_in": N, "batches": B, "wall_sec": W,
    "events_per_sec": R, "batch_ms": {"p50": .., "max": ..},
@@ -55,6 +61,7 @@ COPIES = int(_POS[0]) if len(_POS) > 0 else 100
 N_FILES = int(_POS[1]) if len(_POS) > 1 else 20
 PER_TRIGGER = int(_POS[2]) if len(_POS) > 2 else 2
 PROVIDER = _FLAGS.get("provider", "hdfs")
+CHANGELOG = "changelog" in _FLAGS
 SHATTER = int(_FLAGS.get("shatter-users", "1"))
 ONLY_OPS = set(_FLAGS["ops"].split(",")) if "ops" in _FLAGS else None
 OUT = f"/tmp/spark_graft_stream_volume_x{COPIES}" + (
@@ -76,6 +83,11 @@ def main() -> None:
     extra = {}
     if PROVIDER == "rocksdb":
         extra["spark.sql.streaming.stateStore.providerClass"] = _ROCKSDB
+        if CHANGELOG:
+            extra[
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            ] = "true"
     spark = get_spark(app_name="streaming_volume_probe", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -152,7 +164,7 @@ def main() -> None:
             json.dumps(
                 {
                     "op": name,
-                    "provider": PROVIDER,
+                    "provider": PROVIDER + ("+changelog" if CHANGELOG else ""),
                     "rows_in": n_rows,
                     "batches": len(prog),
                     "wall_sec": round(wall, 1),
@@ -239,7 +251,7 @@ def _foreach_restart_rung(spark, replay: str, n_rows: int) -> None:
         json.dumps(
             {
                 "op": "foreach_restart",
-                "provider": PROVIDER,
+                "provider": PROVIDER + ("+changelog" if CHANGELOG else ""),
                 "rows_in": n_rows,
                 "interrupted_after_batches": interrupted_batches,
                 "wall_sec": round(wall, 1),
