@@ -49,9 +49,30 @@ def with_global_index(
 
     ``order_cols`` must be a total order (include a unique tiebreak) for the
     index to be deterministic.
+
+    The ``tagged`` frame is persisted (MEMORY_AND_DISK) before the
+    offsets branch: the plan references it from TWO subtrees (the
+    pid-count aggregate and the main join side) whose range exchanges
+    are planned independently — and a RangePartitioner SAMPLES its
+    boundaries with an RDD-id-derived seed, so the two subtrees can
+    land DIFFERENT boundaries once the sample is partial. At fixture
+    scale the sample covers every row and the hazard is invisible
+    (every test green for ten rounds); at the round-11 1000× replay
+    build (100M rows) the branches disagreed and the pid-keyed offsets
+    inner join silently dropped 65% of the rows. Persisting pins one
+    materialization of the partitioning for every consumer; the cache
+    is dropped by the ContextCleaner when the frame is GC'd (the
+    engine's 2–5 min periodic-GC keeps that bounded). Known residual:
+    an executor loss on a real cluster recomputes lost blocks with
+    fresh boundaries — checkpoint() the input instead where that
+    matters more than the extra write.
     """
+    from pyspark import StorageLevel
+
     ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
     # #partitions integers → one row → exclusive prefix sum via a
@@ -104,9 +125,16 @@ def with_prefix_sum(
 
     ``order_cols`` must be a total order (unique tiebreak) for
     determinism; ``value_col`` must be integral (offsets are exact longs).
+
+    Persisted for the same two-subtree range-boundary hazard documented
+    in :func:`with_global_index`.
     """
+    from pyspark import StorageLevel
+
     ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # coalesce the per-partition sum: SUM over an all-NULL partition is
     # NULL, and the fold's `st.acc + x.n` would poison every later

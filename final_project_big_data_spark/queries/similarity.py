@@ -251,6 +251,14 @@ def _lsh_probe(probes_signed: DataFrame, signed: DataFrame) -> DataFrame:
     )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    # NO broadcast hint here, unlike _ivf_probe — measured both ways at
+    # the 100× serving probe (round 11, tools/index_serving_probe.py):
+    # with only 2^n_planes = 16 buckets, multiprobe covers essentially
+    # every bucket, so partition pruning is structurally nil for LSH
+    # (bytes_pruned_factor 1.0) AND forcing the probe side broadcast
+    # made the bulk 200-probe query 2.8× SLOWER (29 → 87 s — the BHJ
+    # inner loop re-evaluates the fat array-typed build rows per match,
+    # where the shuffle join streams the 16 dense groups once).
     return (
         probed.join(
             signed,
@@ -768,8 +776,19 @@ def _ivf_probe(
     )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    # broadcast the probe side — bounded by |probes| × nprobe rows at any
+    # corpus size, but its planner ESTIMATE flows from the corpus scan it
+    # derives from, so without the hint the join goes shuffle — and the
+    # persisted-index postings scan's dynamicpruningexpression silently
+    # NO-OPS at runtime (DPP default reuseBroadcastOnly: nothing to
+    # reuse → the filter degenerates to true). Found and verified by the
+    # round-11 serving probe's FS bytes-read metric
+    # (tools/index_serving_probe.py): with the hint, a 5-probe query
+    # reads 1.3 MB of the 1.9 MB postings — factor 1.46, exactly the
+    # 400/280 probed-list arithmetic — and runs 1.6× faster; the bulk
+    # 200-probe shape is unchanged-to-better (6.8 → 6.4 s).
     return (
-        probes.join(
+        F.broadcast(probes).join(
             assigned,
             (F.col("probe_centroid") == F.col("centroid_id"))
             & (F.col("query_id") != F.col("vec_id")),

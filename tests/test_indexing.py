@@ -174,3 +174,43 @@ def test_prefix_sum_all_null_partition_does_not_poison(spark):
     }
     assert got == want
     assert got[3999] == 2 * (3999 - 1500)  # later partitions saw real sums
+
+
+def test_global_index_consistent_across_plan_subtrees_at_volume(spark, sf_dir):
+    """Round-11 regression: the pid-count branch and the main join branch
+    of with_global_index reference the same range exchange from TWO plan
+    subtrees, and RangePartitioner samples its boundaries with an
+    RDD-id-derived seed — once the sample is PARTIAL (never at fixture
+    scale, always at volume) the subtrees could land different
+    boundaries and the pid-keyed offsets inner join silently dropped
+    rows (65% lost at the 1000× replay build). The persist() pin must
+    hold the row count and the exact ntile split at a volume where
+    sampling is partial (200k rows reproduced the corruption before the
+    fix)."""
+    from pyspark.sql import functions as F
+
+    from final_project_big_data_spark.io import load_table
+    from final_project_big_data_spark.operators.indexing import with_ntile
+
+    base = load_table(spark, sf_dir, "events")
+    scaled = (
+        base.withColumn("c", F.explode(F.sequence(F.lit(0), F.lit(199))))
+        .select(
+            (F.col("event_id") + F.col("c") * 10_000_000).alias("event_id"),
+            "ts",
+        )
+        .repartition(32)
+    )
+    n = scaled.count()
+    assert n >= 100_000  # partial-sampling regime
+    tiled = with_ntile(scaled, ["ts", "event_id"], 6, tile_col="_b")
+    # the failing shape: a second shuffle + aggregation over the tiled
+    # frame (re-executes the subtree exactly like the partitioned write)
+    got = dict(
+        (r["_b"], r["count"])
+        for r in tiled.repartition(6, "_b").groupBy("_b").count().collect()
+    )
+    assert sum(got.values()) == n, got
+    big, small = n // 6 + 1, n // 6
+    assert all(v in (big, small) for v in got.values()), got
+    assert set(got) == {1, 2, 3, 4, 5, 6}, got

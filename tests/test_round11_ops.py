@@ -1,9 +1,20 @@
 """Round-11 pins: persisted-index serving-path partition pruning
-(VERDICT r10 #5) — the s06/s07 postings/tables scans must plan a
-runtime dynamicpruningexpression on their partition column, i.e. Spark
-reads only the probed inverted lists / hash buckets, not the whole
-index. At 100 TB this is the difference between an ANN query touching
-nprobe directories and rescanning the corpus-sized index."""
+(VERDICT r10 #5).
+
+The s07 postings scan must plan a runtime dynamicpruningexpression on
+centroid_id AND the probe side must be a broadcast build — under
+Spark's default ``dynamicPartitionPruning.reuseBroadcastOnly`` a
+planned DPP expression over a non-broadcast join silently degenerates
+to ``true`` at runtime (found by the round-11 serving probe's FS
+bytes-read metric: the factor was exactly 1.0 until the broadcast hint
+landed, then 1.46 = the 400/280 probed-list arithmetic). At 100 TB the
+pruned scan is the difference between an ANN query touching
+|probes|×nprobe directories and rescanning the corpus-sized index.
+
+s06 (LSH) keeps its planned-DPP pin for partition-discovery regression
+coverage, but its pruning is STRUCTURALLY nil at 2^n_planes = 16
+buckets (multiprobe covers them all) and the broadcast hint was
+measured 2.8× slower on the bulk shape — see _lsh_probe's comment."""
 
 from __future__ import annotations
 
@@ -23,6 +34,8 @@ def test_s07_postings_scan_partition_pruned(spark, sf_dir):
     assert "dynamicpruningexpression(cast(centroid_id" in plan or (
         "dynamicpruningexpression(centroid_id" in plan
     ), plan[:2000]
+    # the broadcast that makes the DPP real at runtime (reuseBroadcastOnly)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
 def test_s06_tables_scan_partition_pruned(spark, sf_dir):

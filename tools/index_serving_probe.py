@@ -25,6 +25,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_QUERIES = 200
+N_QUERIES_FEW = 5  # the low-latency serving shape: pruning only shows when
+# the probed lists are a small fraction of the index (200 probes x nprobe
+# cover nearly every list; 5 probes touch <=nprobe*5 of them)
 
 
 def _timed_min(fn, n):
@@ -80,6 +83,21 @@ def main() -> None:
                 "runs": runs,
                 "lists_total": lists_total,
             }
+            def run_few():
+                query(spark, path, N_QUERIES_FEW).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+
+            def fs_bytes_read():
+                # actual bytes read from the local FS by the JVM — the
+                # direct measure of what pruning skips (executor page
+                # cache makes WALL flat when every list file is tiny)
+                total = 0
+                stats = spark._jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics()
+                for i in range(stats.size()):
+                    total += stats.get(i).getBytesRead()
+                return total
+
             dpp = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
             for mode, flag in (("pruned", "true"), ("full_scan", "false")):
                 spark.conf.set(dpp, flag)
@@ -89,9 +107,22 @@ def main() -> None:
                 )
                 out[f"{mode}_has_dpp"] = "dynamicpruningexpression" in plan
                 out[f"{mode}_sec"] = _timed_min(run, runs)
+                b0 = fs_bytes_read()
+                out[f"{mode}_few_sec"] = _timed_min(run_few, runs)
+                out[f"{mode}_few_bytes_read_mb"] = round(
+                    (fs_bytes_read() - b0) / 1048576 / runs, 1
+                )
             spark.conf.set(dpp, "true")
             out["pruning_speedup"] = round(
                 out["full_scan_sec"] / out["pruned_sec"], 3
+            )
+            out["pruning_speedup_few"] = round(
+                out["full_scan_few_sec"] / out["pruned_few_sec"], 3
+            )
+            out["bytes_pruned_factor_few"] = round(
+                out["full_scan_few_bytes_read_mb"]
+                / max(out["pruned_few_bytes_read_mb"], 0.1),
+                2,
             )
             print(json.dumps(out), flush=True)
     finally:

@@ -99,23 +99,48 @@ def main() -> None:
         # (event-salted, deterministic) — state cardinality rises K×
         # with event volume unchanged
         user = F.col("user_id") * SHATTER + F.col("event_id") % SHATTER
+        # cast the copy index to long BEFORE the shift: at >=215 copies
+        # c*10_000_000 overflows INT32 and ANSI mode aborts (the same
+        # class as scale_probe's STEP lesson, re-found at the 1000× rung)
+        c = F.col("c").cast("long")
         scaled = base.withColumn("c", copies).select(
-            (F.col("event_id") + F.col("c") * 10_000_000).alias("event_id"),
+            (F.col("event_id") + c * 10_000_000).alias("event_id"),
             "ts",
-            (user + F.col("c") * 1_000_000 * SHATTER).alias("user_id"),
+            (user + c * 1_000_000 * SHATTER).alias("user_id"),
             "event_type",
             "value",
             "props",
         )
+        # fan out BEFORE the ntile pipeline: the source fixture is one
+        # ~2 MB parquet file → one input partition, and the 1000-copy
+        # explode would otherwise materialize 100M rows through a single
+        # task in every one of the N_FILES passes (found at the 1000×
+        # rung: the first sampling stage alone sat >15 min on one core).
+        # The ntile global sort re-ranges anyway, so semantics and file
+        # order are unchanged.
+        scaled = scaled.repartition(max(32, COPIES // 16))
         tiled = with_ntile(scaled, ["ts", "event_id"], N_FILES, tile_col="_b")
+        # ONE partitioned write instead of N_FILES filtered re-executions
+        # of the whole explode+rank pipeline (at the 1000× rung the loop
+        # shape re-ran a 100M-row sort 20×). Hash-repartitioning on _b
+        # puts each tile in exactly one task → exactly one file per
+        # batch dir, which the maxFilesPerTrigger replay shape requires;
+        # the partition dirs are renamed to the batch_i layout the
+        # file-stream reader expects.
+        tmp = os.path.join(OUT, "replay_tmp")
+        (
+            tiled.repartition(N_FILES, "_b")
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(tmp)
+        )
+        os.makedirs(replay, exist_ok=True)
         for i in range(N_FILES):
-            (
-                tiled.filter(F.col("_b") == i + 1)
-                .drop("_b")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(replay, f"batch_{i}"))
+            os.rename(
+                os.path.join(tmp, f"_b={i + 1}"),
+                os.path.join(replay, f"batch_{i}"),
             )
+        shutil.rmtree(tmp, ignore_errors=True)
     n_rows = (
         spark.read.option("recursiveFileLookup", "true").parquet(replay).count()
     )
