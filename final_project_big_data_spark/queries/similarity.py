@@ -87,7 +87,13 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "embedding"
     )
     if pair_kernel(sf) == "np":
-        n_buckets = int(
+        # 2× the shuffle width: halves each bucket's kernel group so the
+        # Python-worker scoring overlaps the shuffle fetch — measured at
+        # the 1000× probe (2M vectors, min-of-3): 5.39 s at 1×, 4.14 s
+        # at 2×, 4.35 s at 4× (probe replication + per-group stack costs
+        # take over past 2×). Any width is correct (parity pinned at
+        # 1/7/4096 buckets).
+        n_buckets = 2 * int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
         scored = probe_corpus_topk(
