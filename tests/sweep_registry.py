@@ -121,19 +121,14 @@ def sample_predicates(df, fraction):
     return spark_pred, duck_pred, cols
 
 
-def freshness() -> int:
-    """``--freshness``: per-entry driver-visible evidence age, at a glance
-    (round 11, VERDICT r10 #8).
+def freshness_text() -> tuple[str, list[str]]:
+    """Render the per-entry driver-evidence freshness table (round 11,
+    VERDICT r10 #8) as markdown; returns ``(text, failed_entries)``.
 
-    With ~200 registry entries and the driver's 50-per-round cap, an
-    entry's last hash-checked CORRECTNESS row can age several rounds even
-    though the stalest-green-first rotation bounds the worst case. This
-    mode folds every CORRECTNESS_r*.json (the same fold the rotation
-    itself uses, ``__spark_entry__._driver_history``) into a markdown
-    table — status, last-verified round, age in rounds — so staleness is
-    READ, not computed. Exit 1 if any entry has a recorded failure newer
-    than its last green (the rotation would front-queue it anyway, but a
-    red row here means the next driver round matters).
+    Folds every CORRECTNESS_r*.json (the same fold the stalest-first
+    rotation uses, ``__spark_entry__._driver_history``) into a table —
+    status, last-verified round, age in rounds — so staleness is READ,
+    not computed.
     """
     import importlib
     import os as _os
@@ -145,24 +140,58 @@ def freshness() -> int:
     specs = all_specs()
     hist = entry_mod._driver_history(specs)
     latest = max((r for _s, r in hist.values()), default=0)
-    print(f"# Driver-evidence freshness (latest recorded round: r{latest})\n")
-    print("| entry | status | last driver round | age (rounds) |")
-    print("|---|---|---|---|")
+    lines = [
+        f"# Driver-evidence freshness (latest recorded round: r{latest})",
+        "",
+        "| entry | status | last driver round | age (rounds) |",
+        "|---|---|---|---|",
+    ]
     failed = []
     for name in sorted(specs):
         status, rnd = hist.get(name, ("never", 0))
         age = latest - rnd if rnd else "—"
-        print(f"| `{name}` | {status} | r{rnd if rnd else '—'} | {age} |")
+        lines.append(f"| `{name}` | {status} | r{rnd if rnd else '—'} | {age} |")
         if status == "failed":
             failed.append(name)
     never = [n for n in sorted(specs) if n not in hist]
-    print(
+    lines.append(
         f"\n{len(specs)} entries: "
         f"{sum(1 for n in specs if hist.get(n, ('never',))[0] == 'green')} green, "
         f"{len(failed)} failed, {len(never)} never driver-checked."
     )
     if failed:
-        print("FAILED (front of next rotation):", ", ".join(failed))
+        lines.append("FAILED (front of next rotation): " + ", ".join(failed))
+    return "\n".join(lines) + "\n", failed
+
+
+def write_freshness(path: str | None = None) -> list[str]:
+    """Regenerate ``docs/FRESHNESS.md`` from the CORRECTNESS artifacts on
+    disk (round 12, VERDICT r11 #4: the r11 file was committed one round
+    stale because regeneration wasn't wired into the round close). Called
+    from ``bench.py`` (runs every driver round) and from this module's
+    sweep path, so any round activity after new driver rows land rewrites
+    the file; ``tests/test_survey_sync.py`` pins committed-file currency.
+    """
+    import os as _os
+
+    if path is None:
+        path = _os.path.join(
+            _os.path.dirname(__file__), "..", "docs", "FRESHNESS.md"
+        )
+    text, failed = freshness_text()
+    with open(path, "w") as f:
+        f.write(text)
+    return failed
+
+
+def freshness() -> int:
+    """``--freshness``: print the evidence-age table AND refresh the
+    committed ``docs/FRESHNESS.md``. Exit 1 if any entry has a recorded
+    failure newer than its last green (the rotation would front-queue it
+    anyway, but a red row here means the next driver round matters)."""
+    text, failed = freshness_text()
+    print(text)
+    write_freshness()
     return 1 if failed else 0
 
 
@@ -396,6 +425,10 @@ def main() -> int:
     if failures:
         print(json.dumps(failures, indent=1))
     spark.stop()
+    try:
+        write_freshness()  # keep docs/FRESHNESS.md current (VERDICT r11 #4)
+    except Exception:  # noqa: BLE001 — freshness must never fail the sweep
+        pass
     return 1 if failures else 0
 
 
