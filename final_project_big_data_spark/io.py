@@ -414,5 +414,108 @@ def register_stats_tables(
             f"CREATE TABLE {full} USING parquet "
             f"LOCATION '{table_path(sf_dir, t)}'"
         )
-        spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR ALL COLUMNS")
+        if not _restore_table_stats(spark, db, t, sf_dir):
+            _analyze(spark, full)
+            _snapshot_table_stats(spark, db, t, sf_dir)
     return db
+
+
+def _analyze(spark: SparkSession, full: str) -> None:
+    """One distributed stats-collection scan (separable so tests can prove
+    the restore path never re-runs it)."""
+    spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+def _stats_path(sf_dir: str, table: str) -> str:
+    """CBO stats snapshots live beside the repo warehouse (round 12,
+    VERDICT r11 #3): the in-memory catalog dies with the session, so the
+    ANALYZE cost (224 s at the 1000× corpus) must amortize ACROSS
+    sessions — the nightly-ANALYZE posture a warehouse metastore gives
+    for free. ``SPARK_GRAFT_STATS_DIR`` overrides (e.g. shared storage on
+    a real cluster)."""
+    import hashlib
+
+    base = os.environ.get("SPARK_GRAFT_STATS_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "stats",
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(base, f"{h}_{table}.json")
+
+
+def _snapshot_table_stats(
+    spark: SparkSession, db: str, table: str, sf_dir: str
+) -> None:
+    """Serialize the ANALYZE result so it survives session restarts the
+    in-memory catalog cannot: the ``CatalogStatistics`` object itself is
+    java-serialized (base64) — py4j cannot round-trip its ``BigInt``
+    fields as typed arguments (py4j converts any ``java.lang.Number`` to
+    a Python int on return, so a rebuilt object never matches the
+    constructor signature); a byte-level round trip keeps the object
+    JVM-side end to end. Readable row/size/column fields ride along for
+    humans and tests."""
+    import base64
+    import json
+
+    jvm = spark._jvm
+    cat = spark._jsparkSession.sessionState().catalog()
+    ti = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+        table, jvm.scala.Option.apply(db)
+    )
+    stats_opt = cat.getTableMetadata(ti).stats()
+    if not stats_opt.isDefined():
+        return
+    s = stats_opt.get()
+    bos = jvm.java.io.ByteArrayOutputStream()
+    oos = jvm.java.io.ObjectOutputStream(bos)
+    oos.writeObject(s)
+    oos.close()
+    blob = base64.b64encode(bytes(bos.toByteArray())).decode("ascii")
+    cols = []
+    it = s.colStats().iterator()
+    while it.hasNext():
+        cols.append(it.next()._1())
+    out = {
+        "sizeInBytes": str(s.sizeInBytes()),
+        "rowCount": str(s.rowCount().get()) if s.rowCount().isDefined() else None,
+        "columns": sorted(cols),
+        "catalogStatisticsJavaSer": blob,
+    }
+    path = _stats_path(sf_dir, table)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+
+def _restore_table_stats(
+    spark: SparkSession, db: str, table: str, sf_dir: str
+) -> bool:
+    """Inject a snapshot back into the session catalog WITHOUT a scan
+    (``alterTableStats`` — the call ANALYZE itself ends with). Returns
+    False when no snapshot exists or it fails to deserialize (e.g. a
+    Spark upgrade changed the class shape) — the caller then pays the
+    one-time ANALYZE and re-snapshots, so a stale cache degrades to the
+    old behavior, never to an error."""
+    import base64
+    import json
+
+    path = _stats_path(sf_dir, table)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            snap = json.load(f)
+        jvm = spark._jvm
+        cat = spark._jsparkSession.sessionState().catalog()
+        ti = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+            table, jvm.scala.Option.apply(db)
+        )
+        raw = base64.b64decode(snap["catalogStatisticsJavaSer"])
+        bis = jvm.java.io.ByteArrayInputStream(bytearray(raw))
+        ois = jvm.java.io.ObjectInputStream(bis)
+        stats = ois.readObject()
+        cat.alterTableStats(ti, jvm.scala.Option.apply(stats))
+        return True
+    except Exception:  # noqa: BLE001 — stale/foreign snapshot → re-ANALYZE
+        return False

@@ -32,11 +32,61 @@ surface mandated by the build brief.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _PID = "_gidx_pid"
 _OFFSET = "_gidx_offset"
+
+#: LIFO stack of open pin scopes; each is the list of frames persisted by
+#: indexing operators built while the scope was innermost.
+_ACTIVE_SCOPES: list[list[DataFrame]] = []
+
+
+@contextmanager
+def index_pin_scope():
+    """Bound the lifetime of the MEMORY_AND_DISK pins these operators hold
+    (round 12, VERDICT r11 #5).
+
+    The persist is correctness-critical WITHIN a query (it pins one
+    materialization of the sampled range boundaries for both plan
+    subtrees — the r11 row-loss fix) but holds blocks AFTER the query
+    until the ContextCleaner's periodic GC (engine default: 5 min), so a
+    long-lived session issuing many indexed queries accumulates dead
+    blocks between ticks. Callers that OWN the action — the streaming
+    replay builders, any materialize-then-move-on pipeline — wrap build
+    + action in this scope; on exit every pin created inside is
+    ``unpersist(blocking=False)``-ed immediately.
+
+    Per-query unpersist inside the operator itself would be UNSOUND, so
+    it is deliberately absent: the pin must outlive the caller's action
+    (unpersisting earlier re-samples boundaries per subtree — the exact
+    r11 corruption), the operator never sees that action, and
+    CacheManager entries are canonical-plan-keyed, so dropping one
+    query's pin can yank the cache out from under a concurrent identical
+    query mid-action. Lazy registry builders therefore keep the
+    periodic-GC bound (measured flat at steady state —
+    tools/idx_session_probe.py, SCALE.md round 12); eager internal call
+    sites use this scope and hold zero blocks after returning.
+    """
+    pins: list[DataFrame] = []
+    _ACTIVE_SCOPES.append(pins)
+    try:
+        yield
+    finally:
+        _ACTIVE_SCOPES.remove(pins)
+        for f in pins:
+            try:
+                f.unpersist(False)
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+
+
+def _register_pin(tagged: DataFrame) -> None:
+    if _ACTIVE_SCOPES:
+        _ACTIVE_SCOPES[-1].append(tagged)
 
 
 def with_global_index(
@@ -73,6 +123,7 @@ def with_global_index(
     tagged = ranged.withColumn(_PID, F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _register_pin(tagged)
 
     counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
     # #partitions integers → one row → exclusive prefix sum via a
@@ -135,6 +186,7 @@ def with_prefix_sum(
     tagged = ranged.withColumn(_PID, F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _register_pin(tagged)
 
     # coalesce the per-partition sum: SUM over an all-NULL partition is
     # NULL, and the fold's `st.acc + x.n` would poison every later

@@ -289,6 +289,106 @@ def probe_corpus_topk(
     )
 
 
+def probe_corpus_topk_scan(
+    corpus: DataFrame,
+    probes_path: str,
+    probe_max_id: int,
+    k: int,
+) -> DataFrame:
+    """Scan-side brute-force probe×corpus cosine scoring (round 12,
+    VERDICT r11 #7) — ``probe_corpus_topk`` with the corpus SHUFFLE
+    designed out.
+
+    The bucketed kernel's residual vs DuckDB at volume was the hash
+    exchange that moves every corpus byte into ``groupBy(bucket)``
+    kernels — a shuffle DuckDB's in-place scan never pays. Here the
+    bucket IS the input partition: ``mapInArrow`` runs the NumPy kernel
+    directly over the parquet scan's Arrow batches — zero exchange, zero
+    pandas materialization — and the tiny probe set is a TASK-SIDE READ
+    of the same parquet file (pyarrow, ``vec_id < probe_max_id``
+    filter, sorted by vec_id), once per partition. Lazy at build (no
+    driver collect, no broadcast variable), deterministic (the probe set
+    is a pure predicate over stored data).
+
+    Math parity with ``dot_fold``/DuckDB by the same construction as the
+    bucketed kernel: float32→float64 per element, dim-by-dim left-fold
+    accumulation, ties broken by neighbor_id, self excluded. Each Arrow
+    batch emits its local per-probe top-k, so the union is a superset of
+    the global top-k and the caller's window does the final cut —
+    ``#batches × |probes| × k`` candidate rows total.
+
+    Scale posture: per-task memory is one Arrow batch (bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) plus the probe
+    block; parallelism is the scan's split count, which the engine
+    already sizes via ``spark.sql.files.maxPartitionBytes``. On a real
+    cluster the probe-file read-per-task assumes shared storage — the
+    same assumption the scan itself makes.
+    """
+
+    def scan(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            probes_path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", probe_max_id)],
+        )
+        qids = tbl["vec_id"].to_numpy()
+        order = np.argsort(qids, kind="stable")
+        qids = qids[order]
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+        )[order]
+        t, dim = Q.shape
+        nq = np.zeros(t)
+        for i in range(dim):  # left fold over dims == dot_fold order
+            nq += Q[:, i] * Q[:, i]
+        nq = np.sqrt(nq)
+
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy()
+            if not len(ids):
+                continue
+            # offsets-aware flatten: a scan batch can be a SLICED Arrow
+            # array whose .values spans the whole parent buffer — slice
+            # [off[0]:off[-1]] before reshaping (embeddings are fixed-dim
+            # non-null lists, so the segment is dense)
+            arr = batch.column("embedding")
+            off = arr.offsets.to_numpy()
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            V = flat[off[0] : off[-1]].reshape(len(ids), -1).astype(np.float64)
+            nv = np.zeros(len(ids))
+            for i in range(dim):
+                nv += V[:, i] * V[:, i]
+            nv = np.sqrt(nv)
+            S = np.zeros((t, len(ids)))
+            for i in range(dim):
+                S += Q[:, i : i + 1] * V[None, :, i]
+            cs = S / (nq[:, None] * nv[None, :])
+            out_q, out_n, out_cs = [], [], []
+            for r in range(t):
+                row = cs[r]
+                sel = np.lexsort((ids, -row))
+                sel = sel[ids[sel] != qids[r]][:k]
+                out_q.append(np.full(len(sel), qids[r]))
+                out_n.append(ids[sel])
+                out_cs.append(row[sel])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_n), type=pa.int64()),
+                    pa.array(np.concatenate(out_cs), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cs"],
+            )
+
+    return corpus.select("vec_id", "embedding").mapInArrow(
+        scan, "query_id bigint, neighbor_id bigint, cs double"
+    )
+
+
 # measured crossover (tools/pair_vec_probe.py, round 8): the kernel's
 # fixed Python-worker/Arrow stage loses at tiny volume and wins from
 # ~the 10× probe volume up — same data-sized posture as the IVF assign

@@ -78,18 +78,37 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
     See operators/vector.py for the benchmarked-and-rejected third
     alternatives (unrolled expression, corpus-broadcast GEMM).
     """
+    from final_project_big_data_spark.io import table_path
     from final_project_big_data_spark.operators.vector import (
         pair_kernel,
         probe_corpus_topk,
+        probe_corpus_topk_scan,
     )
 
     raw = widen(load_table(spark, sf, "embeddings")).select(
         "vec_id", "embedding"
     )
-    if pair_kernel(sf) == "np":
-        # 2× the shuffle width: halves each bucket's kernel group so the
-        # Python-worker scoring overlaps the shuffle fetch — measured at
-        # the 1000× probe (2M vectors, min-of-3): 5.39 s at 1×, 4.14 s
+    np_variant = os.environ.get("SPARK_GRAFT_S01_KERNEL", "scan")
+    if pair_kernel(sf) == "np" and np_variant == "scan":
+        # round 12 (VERDICT r11 #7): the bucketed np kernel's residual at
+        # volume was the hash exchange moving every corpus byte into
+        # groupBy(bucket) kernels; the scan-side kernel scores Arrow
+        # batches straight off the parquet scan (bucket = input split,
+        # zero exchange) with the probe set read task-side. Deliberately
+        # NOT widen()ed — a round-robin repartition would re-insert
+        # exactly the exchange this kernel removes; parallelism is the
+        # scan's split count, already sized via maxPartitionBytes.
+        scored = probe_corpus_topk_scan(
+            load_table(spark, sf, "embeddings").select("vec_id", "embedding"),
+            table_path(sf, "embeddings"),
+            _N_QUERIES,
+            _TOP_K,
+        )
+    elif pair_kernel(sf) == "np":
+        # bucketed np kernel (SPARK_GRAFT_S01_KERNEL=bucket, kept for
+        # A/B): 2× the shuffle width halves each bucket's kernel group so
+        # the Python-worker scoring overlaps the shuffle fetch — measured
+        # at the 1000× probe (2M vectors, min-of-3): 5.39 s at 1×, 4.14 s
         # at 2×, 4.35 s at 4× (probe replication + per-group stack costs
         # take over past 2×). Any width is correct (parity pinned at
         # 1/7/4096 buckets).

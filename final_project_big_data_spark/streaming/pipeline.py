@@ -50,22 +50,29 @@ def replay_dir(
     timeline and the watermark would (correctly) drop most of batches 2..n
     as late. Uses the distributed closed-form ntile (no global window).
     """
-    from final_project_big_data_spark.operators.indexing import with_ntile
-
-    events = with_ntile(
-        load_table(spark, sf_dir, "events"),
-        ["ts", "event_id"],
-        n_batches,
-        tile_col="_b",
+    from final_project_big_data_spark.operators.indexing import (
+        index_pin_scope,
+        with_ntile,
     )
-    for i in range(n_batches):
-        (
-            events.filter(F.col("_b") == i + 1)
-            .drop("_b")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"batch_{i}"))
+
+    # pin scope (round 12): the ntile pin is only needed during the
+    # writes below — release its blocks on exit instead of waiting for
+    # the periodic ContextCleaner tick
+    with index_pin_scope():
+        events = with_ntile(
+            load_table(spark, sf_dir, "events"),
+            ["ts", "event_id"],
+            n_batches,
+            tile_col="_b",
         )
+        for i in range(n_batches):
+            (
+                events.filter(F.col("_b") == i + 1)
+                .drop("_b")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"batch_{i}"))
+            )
     return out_dir
 
 
@@ -427,22 +434,26 @@ def replay_docs(
     (p01), making the batch pipeline the oracle for the stream. Uses the
     distributed closed-form ntile (no global window).
     """
-    from final_project_big_data_spark.operators.indexing import with_ntile
-
-    docs = with_ntile(
-        load_table(spark, sf_dir, "documents"),
-        ["doc_id"],
-        n_batches,
-        tile_col="_b",
+    from final_project_big_data_spark.operators.indexing import (
+        index_pin_scope,
+        with_ntile,
     )
-    for i in range(n_batches):
-        (
-            docs.filter(F.col("_b") == i + 1)
-            .drop("_b")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"batch_{i}"))
+
+    with index_pin_scope():
+        docs = with_ntile(
+            load_table(spark, sf_dir, "documents"),
+            ["doc_id"],
+            n_batches,
+            tile_col="_b",
         )
+        for i in range(n_batches):
+            (
+                docs.filter(F.col("_b") == i + 1)
+                .drop("_b")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"batch_{i}"))
+            )
     return out_dir
 
 

@@ -8,6 +8,7 @@ by the logical optimizer before the first stage runs.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -79,3 +80,38 @@ def test_q113_restores_confs_on_error(spark, sf_dir, monkeypatch, bad_conf):
     with pytest.raises(Exception):
         spec.builder(spark, sf_dir)
     assert spark.conf.get("spark.sql.cbo.enabled", "false") == "false"
+
+
+def test_stats_snapshot_restores_without_reanalyze(spark, sf_dir, monkeypatch):
+    """Round 12 (VERDICT r11 #3): the ANALYZE results must survive session
+    restart. First registration snapshots to spark-warehouse/stats/; a
+    catalog wiped of the tables (what a NEW session's in-memory catalog
+    looks like) must re-register from the snapshot with ANALYZE
+    monkeypatched to explode — stats present, CBO reorder available,
+    zero scans."""
+    import final_project_big_data_spark.io as io
+
+    db = register_stats_tables(spark, sf_dir, list(_CBO_TABLES))  # snapshots
+    for t in _CBO_TABLES:
+        assert os.path.exists(io._stats_path(sf_dir, t)), t
+        spark.sql(f"DROP TABLE {db}.{t}")
+
+    def boom(*a, **k):  # the restore path must never scan
+        raise AssertionError("ANALYZE ran on the restore path")
+
+    monkeypatch.setattr(io, "_analyze", boom)
+    db2 = register_stats_tables(spark, sf_dir, list(_CBO_TABLES))
+    assert db2 == db
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {db}.part").collect()
+    stats = [r.data_type for r in rows if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0], stats
+    # the restored stats drive the same CBO join reorder ANALYZE did
+    sql = _q113_sql(f"{db}.")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        reordered = _join_order(spark.sql(sql))
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    assert reordered.index("part") < reordered.index("orders"), reordered

@@ -214,3 +214,49 @@ def test_global_index_consistent_across_plan_subtrees_at_volume(spark, sf_dir):
     big, small = n // 6 + 1, n // 6
     assert all(v in (big, small) for v in got.values()), got
     assert set(got) == {1, 2, 3, 4, 5, 6}, got
+
+
+def test_index_pin_scope_releases_blocks(spark):
+    """Round 12 (VERDICT r11 #5): pins created inside index_pin_scope are
+    released on exit — zero persisted RDDs afterwards — while the pin
+    stays alive THROUGH the caller's action inside the scope (the r11
+    correctness requirement)."""
+    from final_project_big_data_spark.operators.indexing import (
+        index_pin_scope,
+        with_global_index,
+    )
+
+    import time
+
+    sc = spark.sparkContext._jsc.sc()
+    baseline = len(sc.getRDDStorageInfo())  # other tests' pins on the
+    # shared session await the periodic ContextCleaner; only OUR delta
+    # must return to zero
+    df = spark.range(0, 50_000).repartition(8).withColumnRenamed("id", "k")
+    with index_pin_scope():
+        idx = with_global_index(df, ["k"])
+        n = idx.count()  # action INSIDE the scope materializes the pin
+        assert n == 50_000
+        assert len(sc.getRDDStorageInfo()) >= baseline + 1
+    for _ in range(50):  # unpersist(blocking=False) → briefly async
+        if len(sc.getRDDStorageInfo()) <= baseline:
+            break
+        time.sleep(0.1)
+    assert len(sc.getRDDStorageInfo()) <= baseline
+
+
+def test_replay_dir_holds_no_storage(spark, sf_dir, tmp_path):
+    """The eager internal call sites (streaming replay builders) are
+    scoped: no NEW persisted RDDs after they return."""
+    import time
+
+    from final_project_big_data_spark.streaming.pipeline import replay_dir
+
+    sc = spark.sparkContext._jsc.sc()
+    baseline = len(sc.getRDDStorageInfo())
+    replay_dir(spark, sf_dir, str(tmp_path / "replay"), n_batches=3)
+    for _ in range(50):
+        if len(sc.getRDDStorageInfo()) <= baseline:
+            break
+        time.sleep(0.1)
+    assert len(sc.getRDDStorageInfo()) <= baseline

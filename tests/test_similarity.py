@@ -218,6 +218,7 @@ def test_s01_probe_kernels_bit_parity(spark, sf_dir, monkeypatch):
         outs.append(all_specs()["s01_cosine_topk"].builder(spark, sf_dir).collect())
     assert outs[0] == outs[1]
     monkeypatch.setenv("SPARK_GRAFT_PAIR_KERNEL", "np")
+    monkeypatch.setenv("SPARK_GRAFT_S01_KERNEL", "bucket")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         for b in ("1", "7", "4096"):
@@ -226,6 +227,21 @@ def test_s01_probe_kernels_bit_parity(spark, sf_dir, monkeypatch):
             assert got == outs[0], f"buckets={b}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+    # round-12 scan-side kernel (mapInArrow over scan batches, task-side
+    # probe read): same bit parity, including under a tiny Arrow batch
+    # size (many per-batch top-k unions → global window superset cut)
+    monkeypatch.setenv("SPARK_GRAFT_S01_KERNEL", "scan")
+    got = all_specs()["s01_cosine_topk"].builder(spark, sf_dir).collect()
+    assert got == outs[0], "scan kernel diverged"
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        got = all_specs()["s01_cosine_topk"].builder(spark, sf_dir).collect()
+        assert got == outs[0], "scan kernel diverged at 37-row batches"
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
 
 
 def test_pair_kernel_sized_to_input(monkeypatch, sf_dir):
