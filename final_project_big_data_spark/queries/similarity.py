@@ -92,17 +92,14 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
     if pair_kernel(sf) == "np" and np_variant == "scan":
         # round 12 (VERDICT r11 #7): the bucketed np kernel's residual at
         # volume was the hash exchange moving every corpus byte into
-        # groupBy(bucket) kernels; the scan-side kernel scores Arrow
-        # batches straight off the parquet scan (bucket = input split,
-        # zero exchange) with the probe set read task-side. Deliberately
-        # NOT widen()ed — a round-robin repartition would re-insert
-        # exactly the exchange this kernel removes; parallelism is the
-        # scan's split count, already sized via maxPartitionBytes.
+        # groupBy(bucket) kernels; the scan-side kernel scores parquet
+        # ROW GROUPS read task-side (one task per row group, probe set
+        # read task-side too) — zero exchange, parallelism owned by the
+        # kernel instead of the dominant-table-sized maxPartitionBytes
+        # (which starved a first mapInArrow cut to 4 splits / 6.12 s;
+        # row-group tasks: 2.11 s ≈ 0.9× DuckDB at the 1000× corpus).
         scored = probe_corpus_topk_scan(
-            load_table(spark, sf, "embeddings").select("vec_id", "embedding"),
-            table_path(sf, "embeddings"),
-            _N_QUERIES,
-            _TOP_K,
+            spark, table_path(sf, "embeddings"), _N_QUERIES, _TOP_K
         )
     elif pair_kernel(sf) == "np":
         # bucketed np kernel (SPARK_GRAFT_S01_KERNEL=bucket, kept for

@@ -100,6 +100,17 @@ def main() -> None:
             ).lower(),
             "spark.driver.memory": sized_driver_memory(sf),
             "spark.ui.enabled": "true",
+            # round 12 (VERDICT r11 #1): shuffle-medium/codec matrix —
+            # SPARK_LOCAL_DIRS picks tmpfs vs real disk (env overrides any
+            # spark.local.dir conf), this knob turns the wire-like codec on
+            **(
+                {
+                    "spark.shuffle.compress": "true",
+                    "spark.shuffle.spill.compress": "true",
+                }
+                if os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS") == "1"
+                else {}
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
