@@ -325,6 +325,36 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: pre-agg pays a fixed extra aggregation to move fewer shuffle bytes;
+#: below this much filtered-fact input the byte saving can't win even
+#: when bytes are expensive. Measured bracket (tools/q14_bytes.py,
+#: round 12, disk+codec): 1.37 GB lineitem → join-first still faster
+#: (3.47 vs 4.32 s); 13.7 GB → pre-agg faster (29.8 vs 32.8 s).
+_Q14_PREAGG_MIN_BYTES = 4 * 1024**3
+
+
+def _q14_preagg(spark: SparkSession, sf: str) -> bool:
+    """Automatic shape choice (round 12, VERDICT r11 #1): pre-agg iff a
+    shuffled byte costs more than a RAM copy (network master, non-tmpfs
+    local dir, or shuffle codec on — ``plans.shuffle_medium``) AND the
+    filtered fact is big enough for the byte saving to beat the extra
+    aggregation (``_Q14_PREAGG_MIN_BYTES``; unstat-able cluster paths
+    count as big). ``SPARK_GRAFT_Q14_PREAGG=1|0`` still forces either
+    shape for A/B."""
+    knob = os.environ.get("SPARK_GRAFT_Q14_PREAGG", "")
+    if knob in ("0", "1"):
+        return knob == "1"
+    from final_project_big_data_spark.operators.vector import table_bytes
+    from final_project_big_data_spark.plans.shuffle_medium import (
+        per_byte_cost_high,
+    )
+
+    li = table_bytes(sf, "lineitem")
+    big = li < 0 or li >= _Q14_PREAGG_MIN_BYTES
+    return big and per_byte_cost_high(spark)
+
+
+
 @query(
     "q14_multiway_join",
     oracle="""
@@ -344,30 +374,40 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     category="join",
 )
 def q14(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: filter → 3-way join → agg → top-k (join-first).
+    """TPC-H Q3 shape: filter → 3-way join → agg → top-k.
 
-    Round 11 re-litigation of the round-6 eager pre-agg (VERDICT r10 #1):
-    the 1000× decomposition (tools/q14_volume_study.py, SCALE.md r11)
-    located q14's whole gap in the pre-agg itself — a ~45M-group
-    hash aggregate over every qualifying lineitem BEFORE the joins cut
-    them 5× — while the scan Spark was long blamed for runs 0.51× (i.e.
-    FASTER than DuckDB) at 600M rows. Join-first re-measured faster at
-    every volume on the current engine (sf0.1 0.385→0.327 s, 100×
-    3.60→2.82 s, 1000× 32.4→22.6 s, min-of-N idle host); the round-6
-    numbers that favored pre-agg at sf0.1 predate the codegen-cache and
-    AQE-advisory fixes and no longer reproduce. The groupBy after the
-    join needs NO extra exchange: the join leaves rows hash-partitioned
-    by l_orderkey, which already clusters (l_orderkey, o_orderdate) —
-    o_orderdate is functionally dependent through the n:1 join.
+    Round 11 re-litigated the round-6 eager pre-agg and flipped the
+    default to join-first (the 1000× decomposition located q14's whole
+    gap in the ~45M-group pre-agg; the scan runs 0.51× — FASTER than
+    DuckDB — at 600M rows; join-first won at every volume on tmpfs:
+    sf0.1 0.385→0.327 s, 100× 3.60→2.82 s, 1000× 32.4→22.6 s). The
+    groupBy after the join needs NO extra exchange: the join leaves rows
+    hash-partitioned by l_orderkey, which already clusters
+    (l_orderkey, o_orderdate) — o_orderdate is functionally dependent
+    through the n:1 join.
 
-    The pre-agg shape remains available via ``SPARK_GRAFT_Q14_PREAGG=1``
-    for network-shuffle clusters: it still moves 2.9× fewer fact-stage
-    shuffle bytes (tools/q14_bytes.py, round 7), a trade tmpfs shuffle
-    makes invisible locally but wire bytes can flip — a cluster
-    submitter should A/B it there, with the byte numbers already
-    recorded. No broadcast hint on customer: a 1/5-filtered customer is
-    broadcastable locally (the planner auto-hints it) but NOT at 100 TB —
-    the shape must survive both regimes.
+    Round 12 settled the deferred medium question with the full shape ×
+    medium × codec matrix (tools/q14_bytes.py; best wall, min-of-N):
+
+    ========================  ==========  =========  ============
+    lineitem / medium          tmpfs       disk       disk+codec
+    ========================  ==========  =========  ============
+    1.37 GB (100×) join-first  2.66 s      3.32 s     3.47 s
+    1.37 GB (100×) pre-agg     2.94 s      3.93 s     4.32 s
+    13.7 GB (1000×) join-first 22.6 s (r11) —         32.8 s
+    13.7 GB (1000×) pre-agg    32.4 s (r11) —         29.8 s
+    ========================  ==========  =========  ============
+
+    Join-first wins everywhere EXCEPT big-volume × costly-bytes, where
+    pre-agg's smaller shuffle (6.6 vs 8.9 GB compressed; the old 2.9×
+    byte claim is now a measured 1.26-1.35× — near-unique l_orderkey
+    leaves little map-side combining) outweighs its fixed extra
+    aggregation. The choice is therefore AUTOMATIC (``_q14_preagg``):
+    per-byte cost sniffed from master/local-dir-fstype/codec, volume
+    from the fact's on-disk bytes; the env knob only forces A/B. No
+    broadcast hint on customer: a 1/5-filtered customer is broadcastable
+    locally (the planner auto-hints it) but NOT at 100 TB — the shape
+    must survive both regimes.
     """
     c = load_table(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -378,7 +418,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
     )
-    if os.environ.get("SPARK_GRAFT_Q14_PREAGG", "") == "1":
+    if _q14_preagg(spark, sf):
         rev = li.groupBy("l_orderkey").agg(
             F.sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
