@@ -334,24 +334,68 @@ _Q14_PREAGG_MIN_BYTES = 4 * 1024**3
 
 
 def _q14_preagg(spark: SparkSession, sf: str) -> bool:
-    """Automatic shape choice (round 12, VERDICT r11 #1): pre-agg iff a
-    shuffled byte costs more than a RAM copy (network master, non-tmpfs
-    local dir, or shuffle codec on — ``plans.shuffle_medium``) AND the
-    filtered fact is big enough for the byte saving to beat the extra
-    aggregation (``_Q14_PREAGG_MIN_BYTES``; unstat-able cluster paths
-    count as big). ``SPARK_GRAFT_Q14_PREAGG=1|0`` still forces either
-    shape for A/B."""
+    """Pre-agg shape switch. Round 12 (VERDICT r11 #1) gated it on
+    per-byte cost (disk or codec) × big fact; the round-12 OPTIMIZATION
+    pass re-measured both local media against the new reordered shape
+    and the pre-agg lost every local cell (reorder 15.2 s vs old
+    join-first 23.7 / old pre-agg 29.8 on disk+codec at 1000× —
+    tools/q14_semi.py, OPTIMIZATION_r12.md §q14), so the gate narrowed
+    to NETWORK masters only — the one medium where its byte cut is
+    un-measurable here but arithmetically certain (guide §1.3) — with a
+    big-enough fact (``_Q14_PREAGG_MIN_BYTES``; unstat-able cluster
+    paths count as big), and only when the stronger ``_q14_semi``
+    reduction (10× bytes vs 1.26×) does not already apply.
+    ``SPARK_GRAFT_Q14_PREAGG=1|0`` still forces either shape for A/B."""
     knob = os.environ.get("SPARK_GRAFT_Q14_PREAGG", "")
     if knob in ("0", "1"):
         return knob == "1"
     from final_project_big_data_spark.operators.vector import table_bytes
     from final_project_big_data_spark.plans.shuffle_medium import (
-        per_byte_cost_high,
+        shuffle_medium,
     )
 
     li = table_bytes(sf, "lineitem")
     big = li < 0 or li >= _Q14_PREAGG_MIN_BYTES
-    return big and per_byte_cost_high(spark)
+    return big and shuffle_medium(spark) == "network" and not _q14_semi(spark, sf)
+
+
+#: semi-prefilter bracket on orders' on-disk bytes. Below the floor the
+#: planner broadcasts the (orders⋈customer) build side by itself, so a
+#: key prefilter would be a redundant second broadcast+probe of the same
+#: relation; above the cap the surviving-orderkey set (≈ rows × dim-join
+#: selectivity) no longer fits a sane broadcast budget — a ~30M-key
+#: LongHashedRelation is >1 GB on driver AND every executor (the
+#: 100 TB regime: prune with runtime Bloom injection / CBO instead).
+_Q14_SEMI_MIN_BYTES = 64 * 1024**2
+_Q14_SEMI_MAX_BYTES = 8 * 1024**3
+
+
+def _q14_semi(spark: SparkSession, sf: str) -> bool:
+    """Fact semi-reduction switch (round-12 optimization, guide §3.2):
+    broadcast LEFT SEMI the filtered fact against the (orders⋈customer)
+    orderkey set BEFORE the fact's exchange — 2.5× fewer shuffled bytes
+    than plain reorder (6.9 vs 17.7 GB at 1000×, tools/q14_semi.py), at
+    the price of a second dim scan and 107M broadcast-hash probes.
+    Measured on every LOCAL medium (tmpfs AND disk+codec) the byte
+    saving never repays that price (reorder 15.2–15.5 s vs semi
+    18.4–19.0 s at 1000×), so the prefilter fires only where a shuffled
+    byte crosses a NIC — a non-local master — and the surviving keyset
+    is broadcastable: orders' on-disk bytes inside the bracket.
+    Unstat-able orders (``table_bytes`` = -1) skip the prefilter —
+    unknown keyset size must not gamble executor memory.
+    ``SPARK_GRAFT_Q14_SEMI=1|0`` forces either way for A/B."""
+    knob = os.environ.get("SPARK_GRAFT_Q14_SEMI", "")
+    if knob in ("0", "1"):
+        return knob == "1"
+    from final_project_big_data_spark.operators.vector import table_bytes
+    from final_project_big_data_spark.plans.shuffle_medium import (
+        shuffle_medium,
+    )
+
+    if shuffle_medium(spark) != "network":
+        return False
+    ob = table_bytes(sf, "orders")
+    return _Q14_SEMI_MIN_BYTES <= ob <= _Q14_SEMI_MAX_BYTES
 
 
 
@@ -402,12 +446,39 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     pre-agg's smaller shuffle (6.6 vs 8.9 GB compressed; the old 2.9×
     byte claim is now a measured 1.26-1.35× — near-unique l_orderkey
     leaves little map-side combining) outweighs its fixed extra
-    aggregation. The choice is therefore AUTOMATIC (``_q14_preagg``):
-    per-byte cost sniffed from master/local-dir-fstype/codec, volume
-    from the fact's on-disk bytes; the env knob only forces A/B. No
-    broadcast hint on customer: a 1/5-filtered customer is broadcastable
-    locally (the planner auto-hints it) but NOT at 100 TB — the shape
-    must survive both regimes.
+    aggregation. Per-byte cost is sniffed from master/local-dir-fstype/
+    codec (``_q14_preagg``); the env knobs only force A/B shapes.
+
+    Round-12 OPTIMIZATION pass (OPTIMIZATION_r12.md, guide §3.2) — two
+    further measured changes:
+
+    - **Dim join always first**: ``li ⋈ (o ⋈ c)`` instead of
+      ``(li ⋈ o) ⋈ c``. customer's BUILDING filter is 5× selective but
+      used to apply at the LAST join — after every filtered fact row had
+      already crossed the exchange; worse, at volumes where customer
+      stops broadcasting, the fact-sized join output re-exchanges by
+      o_custkey. Reordered, the dim⋈dim runs map-side (customer
+      broadcast onto orders) and the orderkey side the fact meets is
+      already 1/5 the size. Inner-join associativity: identical rows,
+      oracle hash unchanged (sweep-verified).
+    - **Fact semi-reduction** (``_q14_semi``): on NETWORK masters with a
+      broadcastable surviving-orderkey set, the fact is
+      broadcast-LEFT-SEMI filtered against the (o⋈c) orderkey set
+      BEFORE its exchange — measured shuffle drops ~10× vs the old
+      shape (1389 → 142 MB/run at 100×; 5.7 vs 22 GB/run at 1000×) and
+      2.5× vs plain reorder. On every LOCAL medium the byte saving does
+      not repay the second dim scan + probe pass (1000×: reorder 15.2 s
+      vs semi 18.4–19.0 s on tmpfs AND disk+codec), so locally the
+      default stays plain reorder and semi/pre-agg are A/B knobs.
+
+    1000× matrix (tools/q14_semi.py, min-of-3, this round's host):
+    tmpfs — old join-first 38.96 / reorder 15.48 / semi 18.43 s;
+    disk+codec — 23.65 / 15.16 / 18.96 s. Shuffle written per run:
+    22 / 14.3 / 5.7 GB (tmpfs), 8.8 / 5.9 / 2.3 GB (codec).
+
+    No broadcast hint on customer: a 1/5-filtered customer is
+    broadcastable locally (the planner auto-hints it) but NOT at 100 TB
+    — the shape must survive both regimes.
     """
     c = load_table(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -418,6 +489,14 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
     )
+    # round-12 optimization: the dim⋈dim join always runs FIRST —
+    # customer's 5× selectivity reduces the orderkey side before any
+    # fact byte moves, and the fact's join output never re-exchanges by
+    # o_custkey (which it must at volumes where customer stops
+    # broadcasting). Inner-join associativity: same rows out.
+    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     if _q14_preagg(spark, sf):
         rev = li.groupBy("l_orderkey").agg(
             F.sum(
@@ -425,8 +504,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("_rev")
         )
         return (
-            rev.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            rev.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
             .select(
                 "l_orderkey",
                 F.round(F.col("_rev"), 4).alias("revenue"),
@@ -435,9 +513,13 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.desc("revenue"), "l_orderkey")
             .limit(20)
         )
+    if _q14_semi(spark, sf):
+        keys = oc.select(F.col("o_orderkey").alias("_sk"))
+        li = li.join(
+            F.broadcast(keys), F.col("l_orderkey") == F.col("_sk"), "leftsemi"
+        )
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(

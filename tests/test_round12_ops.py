@@ -38,22 +38,92 @@ def test_per_byte_cost_tracks_codec(spark, monkeypatch):
 
 
 def test_q14_shape_choice(spark, sf_dir, monkeypatch):
-    """Env knob forces either shape; the automatic rule needs BOTH
-    costly bytes and a big fact — the tiny fixture never flips to
-    pre-agg, a fake cluster path (unstat-able → big) with costly bytes
-    does."""
+    """Env knob forces either shape; the automatic pre-agg rule narrowed
+    in the round-12 OPTIMIZATION pass (OPTIMIZATION_r12.md §q14): the
+    reordered join-first shape measured faster on EVERY local medium
+    (tmpfs and disk+codec, 100× and 1000×), so pre-agg now needs a
+    NETWORK master (where its byte cut must pay by §1.3 arithmetic) plus
+    a big fact — and yields to the stronger semi reduction when the
+    keyset bracket fits."""
     monkeypatch.setenv("SPARK_GRAFT_Q14_PREAGG", "1")
     assert _q14_preagg(spark, sf_dir)
     monkeypatch.setenv("SPARK_GRAFT_Q14_PREAGG", "0")
     assert not _q14_preagg(spark, sf_dir)
     monkeypatch.delenv("SPARK_GRAFT_Q14_PREAGG")
-    # tiny fixture: small fact → join-first whatever the medium
+    # local master: never pre-agg, whatever the local medium/codec —
+    # measured, not argued (disk+codec 1000×: reorder 15.16 s vs the two
+    # r12-matrix shapes 23.65 / 29.8 s)
     monkeypatch.setenv("SPARK_LOCAL_DIRS", "/root")
     assert not _q14_preagg(spark, sf_dir)
-    # big fact (unstat-able cluster path) + costly bytes → pre-agg
-    assert _q14_preagg(spark, "hdfs://nowhere/sf100")
-    # big fact but free bytes (tmpfs, codec off — the engine's local
-    # session pins spark.shuffle.compress=false) → join-first
-    monkeypatch.delenv("SPARK_LOCAL_DIRS")
-    assert str(spark.conf.get("spark.shuffle.compress")).lower() == "false"
     assert not _q14_preagg(spark, "hdfs://nowhere/sf100")
+    monkeypatch.delenv("SPARK_LOCAL_DIRS")
+    # network master (mocked medium): big unstat-able fact → pre-agg,
+    # unless the semi bracket takes precedence (stat-able orders inside
+    # the broadcastable bracket)
+    import final_project_big_data_spark.queries.relational as R
+
+    monkeypatch.setattr(
+        "final_project_big_data_spark.plans.shuffle_medium.shuffle_medium",
+        lambda s: "network",
+    )
+    assert R._q14_preagg(spark, "hdfs://nowhere/sf100")
+    assert R._q14_semi(spark, sf_dir) is False  # orders below bracket floor
+    monkeypatch.setattr(
+        R, "_q14_semi", lambda s, sf: True
+    )
+    assert not R._q14_preagg(spark, "hdfs://nowhere/sf100")
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_q14_semi_bracket(spark, sf_dir, monkeypatch):
+    """Round-12 optimization: the semi prefilter needs a NETWORK master
+    (local media measured it a loss) AND orders' on-disk bytes inside
+    the broadcastable-keyset bracket — unstat-able cluster paths must
+    NOT gamble executor memory; the env knob forces both ways."""
+    from final_project_big_data_spark.queries.relational import _q14_semi
+
+    monkeypatch.setenv("SPARK_GRAFT_Q14_SEMI", "1")
+    assert _q14_semi(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_Q14_SEMI", "0")
+    assert not _q14_semi(spark, sf_dir)
+    monkeypatch.delenv("SPARK_GRAFT_Q14_SEMI")
+    assert not _q14_semi(spark, sf_dir)  # local master: reorder measured faster
+    monkeypatch.setattr(
+        "final_project_big_data_spark.plans.shuffle_medium.shuffle_medium",
+        lambda s: "network",
+    )
+    assert not _q14_semi(spark, sf_dir)  # 2.6 MB orders: below bracket floor
+    assert not _q14_semi(spark, "hdfs://nowhere/sf100")  # unknown: no gamble
+
+
+def test_q14_reorder_and_semi_plan(spark, sf_dir, monkeypatch):
+    """The dim⋈dim join (customer onto orders, on o_custkey) sits BELOW
+    the fact join (on l_orderkey) in every shape — the round-12 reorder;
+    the LeftSemi prefilter appears exactly when the bracket/knob says."""
+    from final_project_big_data_spark.queries import all_specs
+
+    build = all_specs()["q14_multiway_join"].builder
+
+    plan = _plan(build(spark, sf_dir))
+    assert "LeftSemi" not in plan  # below the bracket: no redundant pass
+    lines = plan.splitlines()
+    [i_fact] = [
+        i for i, l in enumerate(lines) if "Join [l_orderkey" in l
+    ]
+    [i_dim] = [i for i, l in enumerate(lines) if "Join [o_custkey" in l]
+    assert i_dim > i_fact, "customer join must be nested under the fact join"
+
+    monkeypatch.setenv("SPARK_GRAFT_Q14_SEMI", "1")
+    assert "LeftSemi" in _plan(build(spark, sf_dir))
+    monkeypatch.delenv("SPARK_GRAFT_Q14_SEMI")
+
+    # pre-agg branch keeps the reordered dim side too
+    monkeypatch.setenv("SPARK_GRAFT_Q14_PREAGG", "1")
+    pre = _plan(build(spark, sf_dir))
+    assert "Join [o_custkey" in pre or "Join [c_custkey" in pre
+    monkeypatch.delenv("SPARK_GRAFT_Q14_PREAGG")
