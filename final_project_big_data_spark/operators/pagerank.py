@@ -35,10 +35,35 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    bounded_graph: bool = False,
 ) -> DataFrame:
     """Return (node, rank) after ``n_iter`` synchronous updates over the
-    distinct directed edge set. Deterministic given the edge set."""
-    e = edges.select(src, dst).distinct()
+    distinct directed edge set. Deterministic given the edge set.
+
+    ``bounded_graph=True`` (round-12 optimization, guide §2.4) declares
+    that the CALLER knows the edge set is size-bounded independent of
+    the input volume (x05's is ≤2000 modulo-classed edges by
+    construction): the per-iteration joins then broadcast the edge/deg/
+    inflow sides, so the iterating rank frame never crosses an exchange
+    and each round plans ONE tiny aggregation shuffle instead of three.
+    Values are unchanged — the per-iteration ROUND(·, 10) already
+    quantizes away accumulation-order ulps (the same ulps any partition
+    -count change reorders). Default False: a graph that grows with the
+    data must keep the shuffled joins (broadcasting it would OOM).
+
+    Lineage is truncated with a LAZY ``localCheckpoint`` on the edge set
+    and on each round's rank frame (round-12): without it every
+    reference to round i re-embeds the FULL round-(i-1) plan — the
+    logical tree grows geometrically with rounds, the source is
+    re-scanned once per broadcast build, and driver-side optimize +
+    whole-stage-codegen of the nested plan dominated the measured wall
+    (x09's twin: 1.254 → 0.053 s at sf0.1 fresh-process min-of-8).
+    ``eager=False`` keeps the builder job-free: each checkpoint
+    materializes inside the first action, and all later plan references
+    share that one materialization (the round-11 sampled-subtree pin
+    discipline). On a multi-round production graph this is exactly the
+    per-round checkpoint the old docstring deferred to cluster runs."""
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
@@ -46,6 +71,7 @@ def pagerank(
     )
     deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     nn = nodes.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    hint = F.broadcast if bounded_graph else (lambda df: df)
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
@@ -53,14 +79,15 @@ def pagerank(
     teleport = F.lit(1.0 - damping) / F.col("n_nodes")
     for _ in range(n_iter):
         inflow = (
-            e.join(ranks.withColumnRenamed("node", src), src)
-            .join(deg, src)
+            ranks.withColumnRenamed("node", src)
+            .join(hint(e), src)
+            .join(hint(deg), src)
             .groupBy(dst)
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(inflow.withColumnRenamed(dst, "node"), "node", "left")
+            .join(hint(inflow.withColumnRenamed(dst, "node")), "node", "left")
             .select(
                 "node",
                 F.round(
@@ -69,5 +96,6 @@ def pagerank(
                     10,
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks

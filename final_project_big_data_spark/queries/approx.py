@@ -404,16 +404,21 @@ def a09(spark: SparkSession, sf: str) -> DataFrame:
     d×w counter table and the estimates hash-match — including any
     collision-inflated overestimates, which ARE the CMS contract.
 
-    Scale shape: the sketch is ONE hash-agg whose output is bounded at
-    d×w rows no matter the stream size (map-side partial counters, then a
-    d×w-row exchange); the estimate phase joins candidates to the sketch
-    with the sketch side broadcast (≤{dw} rows), and the top-k compiles to
-    TakeOrderedAndProject — no global sort, no second full pass over the
-    stream beyond the distinct-candidate agg.
+    Scale shape (reworked in the round-12 optimization pass, guide §2.3
+    "aggregate before you shuffle"): the ONLY full-stream work is one
+    hash-agg on uid (map-side partial counts → one exchange of ≤|users|
+    rows). Every hash position is a FUNCTION of uid, so md5/explode run
+    once per distinct user — not per event — and the old per-event
+    3n-row explode + (uid, j, bucket) distinct (a second full-stream
+    exchange) is gone. The sketch re-aggregates the per-user counts to
+    its bounded d×w rows and broadcasts back; the per-user count frame
+    is already uid-partitioned, so the estimate's groupBy(uid) adds NO
+    exchange, and the top-k compiles to TakeOrderedAndProject.
     """
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").cast("string").alias("uid")
     )
+    cnt = ev.groupBy("uid").agg(F.count("*").alias("n"))
     rows = F.array(
         *[
             F.struct(
@@ -428,13 +433,12 @@ def a09(spark: SparkSession, sf: str) -> DataFrame:
             for j in range(_CMS_D)
         ]
     )
-    pos = ev.select("uid", F.explode(rows).alias("p")).select(
-        "uid", "p.j", "p.bucket"
+    pos = cnt.select("uid", "n", F.explode(rows).alias("p")).select(
+        "uid", "n", "p.j", "p.bucket"
     )
-    sketch = pos.groupBy("j", "bucket").agg(F.count("*").alias("c"))
-    cand = pos.distinct()
+    sketch = pos.groupBy("j", "bucket").agg(F.sum("n").alias("c"))
     est = (
-        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        pos.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("uid")
         .agg(F.min("c").alias("cms_est"))
     )

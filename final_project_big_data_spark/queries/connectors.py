@@ -95,6 +95,11 @@ def x05(spark: SparkSession, sf: str) -> DataFrame:
     set (``operators/pagerank.py``) — the iterative-algorithm family next
     to d07's connected components, exactly oracle-checked against the
     unrolled recursive SQL.
+
+    ``bounded_graph=True``: the edge set is ≤2000 rows at ANY scale
+    factor (``o_orderkey < 2000`` + modulo-classed endpoints), so the
+    iteration broadcasts it instead of shuffling the rank frame three
+    times per round (round-12 optimization, see pagerank's docstring).
     """
     from final_project_big_data_spark.io import load_table
     from final_project_big_data_spark.operators.pagerank import pagerank
@@ -104,7 +109,7 @@ def x05(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_custkey") % 97).alias("src"),
         (F.col("o_orderkey") % 89).alias("dst"),
     )
-    pr = pagerank(edges, n_iter=_PR_ITER, damping=_PR_D)
+    pr = pagerank(edges, n_iter=_PR_ITER, damping=_PR_D, bounded_graph=True)
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
@@ -270,14 +275,29 @@ def x09(spark: SparkSession, sf: str) -> DataFrame:
     jobs): at 100 TB each round is one shuffle on dst, and a real
     cluster run would localCheckpoint every few rounds to truncate
     lineage exactly as operators/components.py does.
+
+    Round-12 optimization (guide §2.4 "remove shuffles outright"): the
+    edge set is BOUNDED BY CONSTRUCTION (``o_orderkey < 2000`` ⇒ ≤2000
+    edges over ≤97+89 modulo-classed nodes at ANY scale factor), so the
+    per-round frontier⋈edges join broadcasts the edges and the
+    distance-merge broadcasts the ≤89-row relax output — the iterating
+    ``dist`` frame never crosses an exchange. Per round: ONE tiny
+    aggregation exchange instead of three (the before-plan carried ~40
+    live Exchanges; min-plus over integers, so join strategy cannot
+    change any value). A frontier that GREW with the data would instead
+    keep the shuffle and checkpoint per round.
     """
     from final_project_big_data_spark.io import load_table
 
     o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
-    edges = o.select(
-        (F.col("o_custkey") % 97).alias("src"),
-        (F.col("o_orderkey") % 89).alias("dst"),
-    ).distinct()
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 97).alias("src"),
+            (F.col("o_orderkey") % 89).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -288,12 +308,14 @@ def x09(spark: SparkSession, sf: str) -> DataFrame:
     )
     for _ in range(_BFS_ITER):
         relax = (
-            dist.join(edges, dist.node == edges.src)
+            dist.join(F.broadcast(edges), dist.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + 1).alias("via"))
         )
-        dist = dist.join(relax, "node", "left").select(
-            "node", F.least("dist", "via").alias("dist")
+        dist = (
+            dist.join(F.broadcast(relax), "node", "left")
+            .select("node", F.least("dist", "via").alias("dist"))
+            .localCheckpoint(eager=False)
         )
     return dist.select(
         "node", F.col("dist").cast("int").alias("dist")

@@ -369,6 +369,33 @@ def _q14_preagg(spark: SparkSession, sf: str) -> bool:
 _Q14_SEMI_MIN_BYTES = 64 * 1024**2
 _Q14_SEMI_MAX_BYTES = 8 * 1024**3
 
+#: flat-shape cap on orders' on-disk bytes — same floor as the semi
+#: bracket, and for the same reason: below it the whole (o⋈c) relation
+#: broadcasts. In that regime the round-12 reorder buys nothing (no
+#: exchange exists to shrink) but still PAYS: broadcasting (o⋈c)
+#: SERIALIZES two build jobs (collect customer → run o⋈BHJ(c) as its own
+#: job → probe), while the flat (li⋈o)⋈c shape builds both tiny
+#: broadcasts concurrently and probes both in ONE codegen stage.
+#: Measured fresh-process min-of-8 at sf0.1 (round 12, interleaved ×2):
+#: flat 0.398/0.409 s vs reorder 0.531/0.464 s. Above the cap the dim
+#: side stops broadcasting and the round-12 matrix applies (reorder wins
+#: every 100×/1000× cell on both media).
+_Q14_FLAT_MAX_BYTES = 64 * 1024**2
+
+
+def _q14_flat(sf: str) -> bool:
+    """Small-volume shape switch: keep the flat (li⋈o)⋈c join order while
+    orders' on-disk bytes are inside the everything-broadcasts regime
+    (``_Q14_FLAT_MAX_BYTES``); unstat-able paths read as big → reorder.
+    ``SPARK_GRAFT_Q14_FLAT=1|0`` forces either way for A/B."""
+    knob = os.environ.get("SPARK_GRAFT_Q14_FLAT", "")
+    if knob in ("0", "1"):
+        return knob == "1"
+    from final_project_big_data_spark.operators.vector import table_bytes
+
+    ob = table_bytes(sf, "orders")
+    return 0 <= ob <= _Q14_FLAT_MAX_BYTES
+
 
 def _q14_semi(spark: SparkSession, sf: str) -> bool:
     """Fact semi-reduction switch (round-12 optimization, guide §3.2):
@@ -479,6 +506,14 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     No broadcast hint on customer: a 1/5-filtered customer is
     broadcastable locally (the planner auto-hints it) but NOT at 100 TB
     — the shape must survive both regimes.
+
+    Round-12 follow-up (same pass): in the everything-broadcasts regime
+    (orders' on-disk bytes ≤ ``_Q14_FLAT_MAX_BYTES``) the reorder has no
+    exchange to shrink but still serializes two dependent broadcast
+    builds, so the FLAT (li⋈o)⋈c order is kept there — measured
+    fresh-process min-of-8 at sf0.1: flat 0.398/0.409 s vs reorder
+    0.531/0.464 s (``_q14_flat``). Above the cap the reorder applies
+    unchanged.
     """
     c = load_table(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -518,9 +553,18 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         li = li.join(
             F.broadcast(keys), F.col("l_orderkey") == F.col("_sk"), "leftsemi"
         )
+        j = li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+    elif _q14_flat(sf):
+        # everything-broadcasts regime: flat (li⋈o)⋈c — both dim
+        # broadcasts build concurrently, one probe stage (see
+        # _Q14_FLAT_MAX_BYTES). Inner-join associativity: same rows.
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+            c, F.col("o_custkey") == F.col("c_custkey")
+        )
+    else:
+        j = li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
-        li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate")
+        j.groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),

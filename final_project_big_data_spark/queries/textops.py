@@ -261,11 +261,20 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus bigram language-model scoring — per-doc mean log P(w₂|w₁)
     under the MLE bigram model trained on the SAME corpus (the standard
     perplexity-style quality filter: low-probability word sequences mark
-    boilerplate/garbled text). Counts are two hash aggregates on
-    (w1, w2) / (w1); scoring is two equi-joins back onto the bigram
-    stream — every stage shuffles on a word key, nothing is global. The
-    corpus-side counts are exactly the "train once, score everything"
-    artifact a 100 TB curation run would persist and broadcast.
+    boilerplate/garbled text).
+
+    Round-12 optimization (guide §2.3 "aggregate before you shuffle"):
+    the raw bigram-instance stream used to be exploded THREE times (once
+    per count table, once for scoring) and carried row-per-instance
+    through two word-keyed joins. Now ONE hash-agg collapses instances
+    to (doc_id, w1, w2, k) right after the explode — everything
+    downstream (both count tables, both joins, the per-doc fold) runs
+    on distinct per-doc bigrams, the count tables re-aggregate that
+    frame (its exchange is planned once and reused), and the per-doc
+    average becomes the k-weighted fold Σk·ln(c12/c1) / Σk — the same
+    sum of the same addends, grouped. The corpus-side counts stay the
+    "train once, score everything" artifact a 100 TB curation run would
+    persist and broadcast.
     """
     d = widen(load_table(spark, sf, "documents")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
@@ -277,17 +286,22 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
     bi = d.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
-    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    g = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c12 = g.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = g.groupBy("w1").agg(F.sum("k").alias("c1"))
     return (
-        bi.join(c12, ["w1", "w2"])
+        g.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.avg(F.log(F.col("c12") / F.col("c1").cast("double"))), 4
+                F.sum(
+                    F.col("k") * F.log(F.col("c12") / F.col("c1").cast("double"))
+                )
+                / F.sum("k"),
+                4,
             ).alias("avg_logprob"),
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("k").alias("n_bigrams"),
         )
         .orderBy("doc_id")
     )

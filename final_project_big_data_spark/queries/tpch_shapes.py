@@ -652,6 +652,13 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
 # order-independent (hence bit-reproducible cross-engine) unit-cost
 # proxy.
 
+#: q96 fact-prefilter cap on part's on-disk bytes: the 3.5%-selective
+#: part filter projects to ≤ a few MB of broadcastable keys up to ~1 GB
+#: of part; past that (or unstat-able cluster paths) the keyset may not
+#: fit a sane broadcast budget and the prefilter is skipped (the 100 TB
+#: posture: runtime Bloom injection / CBO prune instead — guide §3.2).
+_Q96_SEMI_MAX_PART_BYTES = 1024**3
+
 
 @query(
     "q96_tpch_q2_min_cost",
@@ -704,11 +711,31 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     ``ROUND``: at sf0.1 two unit costs land exactly on a 4th-decimal
     half-boundary in their shortest decimal repr, where Spark's
     BigDecimal HALF_UP and DuckDB's binary round disagree by 1 ulp.
+
+    Round-12 optimization (guide §3.2): the part filter keeps 3.5% of
+    parts (700/20k at sf0.1) yet used to apply at the LAST join — the
+    bridge aggregated ALL of lineitem and 96.5% of its groups died at
+    the end. A broadcast LEFT SEMI on the filtered part keys now drops
+    those fact rows BEFORE the (l_partkey, l_suppkey) agg exchange
+    (600k → 21k rows into the hash-agg at sf0.1). Whole part groups
+    vanish and the window MIN partitions by l_partkey, so surviving
+    parts' minima are untouched — result identical (oracle-verified).
+    Gated on part's on-disk bytes like q14's semi bracket: an
+    unstat-able or huge part table skips the prefilter rather than
+    gamble executor memory on the broadcast.
     """
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
     )
+    from final_project_big_data_spark.operators.vector import table_bytes
+
+    if 0 <= table_bytes(sf, "part") <= _Q96_SEMI_MAX_PART_BYTES:
+        li = li.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "leftsemi",
+        )
     s = load_table(spark, sf, "supplier")
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")

@@ -101,14 +101,32 @@ def test_q14_semi_bracket(spark, sf_dir, monkeypatch):
     assert not _q14_semi(spark, "hdfs://nowhere/sf100")  # unknown: no gamble
 
 
+def test_q14_flat_gate(sf_dir, monkeypatch):
+    """Flat shape fires exactly in the everything-broadcasts regime:
+    fixture orders (KBs) → flat; unstat-able cluster path → reorder
+    (assume big); env knob forces both ways."""
+    from final_project_big_data_spark.queries.relational import _q14_flat
+
+    assert _q14_flat(sf_dir)
+    assert not _q14_flat("hdfs://nowhere/sf100")
+    monkeypatch.setenv("SPARK_GRAFT_Q14_FLAT", "0")
+    assert not _q14_flat(sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_Q14_FLAT", "1")
+    assert _q14_flat("hdfs://nowhere/sf100")
+
+
 def test_q14_reorder_and_semi_plan(spark, sf_dir, monkeypatch):
-    """The dim⋈dim join (customer onto orders, on o_custkey) sits BELOW
-    the fact join (on l_orderkey) in every shape — the round-12 reorder;
-    the LeftSemi prefilter appears exactly when the bracket/knob says."""
+    """Above the flat cap the dim⋈dim join (customer onto orders, on
+    o_custkey) sits BELOW the fact join (on l_orderkey) — the round-12
+    reorder; at fixture volume the flat shape applies (both dims
+    broadcast concurrently, no nested build) and the customer join sits
+    ABOVE; the LeftSemi prefilter appears exactly when the bracket/knob
+    says."""
     from final_project_big_data_spark.queries import all_specs
 
     build = all_specs()["q14_multiway_join"].builder
 
+    # fixture volume: orders ≪ _Q14_FLAT_MAX_BYTES → flat (li⋈o)⋈c
     plan = _plan(build(spark, sf_dir))
     assert "LeftSemi" not in plan  # below the bracket: no redundant pass
     lines = plan.splitlines()
@@ -116,7 +134,17 @@ def test_q14_reorder_and_semi_plan(spark, sf_dir, monkeypatch):
         i for i, l in enumerate(lines) if "Join [l_orderkey" in l
     ]
     [i_dim] = [i for i, l in enumerate(lines) if "Join [o_custkey" in l]
+    assert i_dim < i_fact, "flat shape: customer join above the fact join"
+
+    # past the cap (forced): the reorder — customer nested under the fact
+    monkeypatch.setenv("SPARK_GRAFT_Q14_FLAT", "0")
+    lines = _plan(build(spark, sf_dir)).splitlines()
+    [i_fact] = [
+        i for i, l in enumerate(lines) if "Join [l_orderkey" in l
+    ]
+    [i_dim] = [i for i, l in enumerate(lines) if "Join [o_custkey" in l]
     assert i_dim > i_fact, "customer join must be nested under the fact join"
+    monkeypatch.delenv("SPARK_GRAFT_Q14_FLAT")
 
     monkeypatch.setenv("SPARK_GRAFT_Q14_SEMI", "1")
     assert "LeftSemi" in _plan(build(spark, sf_dir))
