@@ -51,19 +51,19 @@ def pagerank(
     -count change reorders). Default False: a graph that grows with the
     data must keep the shuffled joins (broadcasting it would OOM).
 
-    Lineage is truncated with a LAZY ``localCheckpoint`` on the edge set
-    and on each round's rank frame (round-12): without it every
-    reference to round i re-embeds the FULL round-(i-1) plan — the
-    logical tree grows geometrically with rounds, the source is
-    re-scanned once per broadcast build, and driver-side optimize +
-    whole-stage-codegen of the nested plan dominated the measured wall
-    (x09's twin: 1.254 → 0.053 s at sf0.1 fresh-process min-of-8).
-    ``eager=False`` keeps the builder job-free: each checkpoint
-    materializes inside the first action, and all later plan references
-    share that one materialization (the round-11 sampled-subtree pin
-    discipline). On a multi-round production graph this is exactly the
-    per-round checkpoint the old docstring deferred to cluster runs."""
-    e = edges.select(src, dst).distinct().localCheckpoint(eager=False)
+    The loop stays UNROLLED into one lazy plan: ``ranks`` is referenced
+    exactly once per round (the inflow join; the teleport base rebuilds
+    from the constant ``nodes`` subtree), so the logical tree grows
+    LINEARLY with rounds and the registry's zero-jobs-at-build contract
+    holds. (A round-12 interim used ``localCheckpoint(eager=False)`` per
+    round to truncate lineage — reverted: under AQE even a lazy local
+    checkpoint materializes every upstream query stage at BUILD time
+    (``AdaptiveSparkPlanExec.getFinalPhysicalPlan`` runs the stage jobs),
+    which both breaks the lazy-build contract and moves computation
+    outside any caller's timed action. A production run over a DEEP
+    many-round graph should still checkpoint every few rounds, as
+    ``connected_components`` — an EAGER_BY_CONTRACT entry — does.)"""
+    e = edges.select(src, dst).distinct()
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
@@ -96,6 +96,5 @@ def pagerank(
                     10,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks

@@ -274,7 +274,11 @@ def x09(spark: SparkSession, sf: str) -> DataFrame:
     Like x05 the loop is UNROLLED into one lazy plan (no build-time
     jobs): at 100 TB each round is one shuffle on dst, and a real
     cluster run would localCheckpoint every few rounds to truncate
-    lineage exactly as operators/components.py does.
+    lineage exactly as operators/components.py does. (A round-12
+    interim added ``localCheckpoint(eager=False)`` per round here —
+    reverted: under AQE a lazy local checkpoint still materializes all
+    upstream query stages at BUILD time, breaking the zero-jobs
+    contract and moving compute outside the caller's timed action.)
 
     Round-12 optimization (guide §2.4 "remove shuffles outright"): the
     edge set is BOUNDED BY CONSTRUCTION (``o_orderkey < 2000`` ⇒ ≤2000
@@ -296,7 +300,6 @@ def x09(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("o_orderkey") % 89).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -315,7 +318,6 @@ def x09(spark: SparkSession, sf: str) -> DataFrame:
         dist = (
             dist.join(F.broadcast(relax), "node", "left")
             .select("node", F.least("dist", "via").alias("dist"))
-            .localCheckpoint(eager=False)
         )
     return dist.select(
         "node", F.col("dist").cast("int").alias("dist")
