@@ -52,10 +52,9 @@ def pagerank(
     data must keep the shuffled joins (broadcasting it would OOM).
 
     The loop stays UNROLLED into one lazy plan: ``ranks`` is referenced
-    exactly once per round (the inflow join; the teleport base rebuilds
-    from the constant ``nodes`` subtree), so the logical tree grows
-    LINEARLY with rounds and the registry's zero-jobs-at-build contract
-    holds. (A round-12 interim used ``localCheckpoint(eager=False)`` per
+    exactly once per round (the step join below), so the logical tree
+    grows LINEARLY with rounds and the registry's zero-jobs-at-build
+    contract holds. (A round-12 interim used ``localCheckpoint(eager=False)`` per
     round to truncate lineage — reverted: under AQE even a lazy local
     checkpoint materializes every upstream query stage at BUILD time
     (``AdaptiveSparkPlanExec.getFinalPhysicalPlan`` runs the stage jobs),
@@ -73,21 +72,47 @@ def pagerank(
     nn = nodes.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
     hint = F.broadcast if bounded_graph else (lambda df: df)
 
+    # One constant STEP relation drives every round (round-12, guide
+    # §2.4/§3.3): each real edge carries its source's out-degree, and a
+    # degree-less self-loop per node keeps no-inflow groups alive — its
+    # contribution is NULL, which sum() skips, reproducing the old
+    # left-join + coalesce(inflow, 0) semantics addend-for-addend. The
+    # rank update then needs ONE join + ONE aggregation per round
+    # (previously: two joins, an aggregation, and a second merge join
+    # against the nodes frame), ``ranks`` is still referenced exactly
+    # once per round (linear plan growth), and because ``steps`` is the
+    # IDENTICAL subtree in every round, physical planning reuses one
+    # exchange/broadcast for all rounds instead of building a fresh
+    # inflow broadcast per round.
+    steps = (
+        e.join(deg, src)
+        .select(
+            F.col(src).alias("_s"),
+            F.col(dst).alias("_d"),
+            F.col("deg").alias("_deg"),
+            F.lit(True).alias("_real"),
+        )
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("_s"),
+                F.col("node").alias("_d"),
+                F.lit(1).cast("long").alias("_deg"),
+                F.lit(False).alias("_real"),
+            )
+        )
+    )
+
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
     teleport = F.lit(1.0 - damping) / F.col("n_nodes")
+    contrib = F.when(F.col("_real"), F.col("rank") / F.col("_deg"))
     for _ in range(n_iter):
-        inflow = (
-            ranks.withColumnRenamed("node", src)
-            .join(hint(e), src)
-            .join(hint(deg), src)
-            .groupBy(dst)
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
-        )
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(hint(inflow.withColumnRenamed(dst, "node")), "node", "left")
+            ranks.join(hint(steps), F.col("node") == F.col("_s"))
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(contrib).alias("inflow"))
+            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
                 F.round(

@@ -283,13 +283,15 @@ def x09(spark: SparkSession, sf: str) -> DataFrame:
     Round-12 optimization (guide §2.4 "remove shuffles outright"): the
     edge set is BOUNDED BY CONSTRUCTION (``o_orderkey < 2000`` ⇒ ≤2000
     edges over ≤97+89 modulo-classed nodes at ANY scale factor), so the
-    per-round frontier⋈edges join broadcasts the edges and the
-    distance-merge broadcasts the ≤89-row relax output — the iterating
-    ``dist`` frame never crosses an exchange. Per round: ONE tiny
-    aggregation exchange instead of three (the before-plan carried ~40
-    live Exchanges; min-plus over integers, so join strategy cannot
-    change any value). A frontier that GREW with the data would instead
-    keep the shuffle and checkpoint per round.
+    per-round relaxation joins a BROADCAST step relation (real edges at
+    weight 1 + a weight-0 self-loop per node — see the inline comment)
+    and the iterating ``dist`` frame only crosses the one tiny min-agg
+    exchange per round (previously three exchanges; min-plus over
+    integers, so join strategy cannot change any value). The self-loop
+    makes each round reference the previous round ONCE, collapsing the
+    2^k logical-plan growth of the old dist⟕relax(dist) merge to
+    linear. A frontier that GREW with the data would instead keep the
+    shuffle and checkpoint per round.
     """
     from final_project_big_data_spark.io import load_table
 
@@ -306,18 +308,31 @@ def x09(spark: SparkSession, sf: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # Min-plus STEP relation (round-12): the real edges at weight 1 plus
+    # a weight-0 self-loop per node, so one join + one min-aggregation
+    # computes d' (v) = min(d(v)+0, min_{u→v} d(u)+1) — identical to the
+    # old least(dist, relax) merge (min and least both skip NULLs; a
+    # node whose group is all-NULL stays NULL = unreached). ``dist`` is
+    # now referenced ONCE per round: the old dist⟕relax(dist) shape
+    # embedded the previous round's plan TWICE, so the logical tree grew
+    # 2^k with rounds and driver analysis dominated wall; this one grows
+    # linearly, and the constant ``steps`` subtree broadcast is planned
+    # once and reused by every round.
+    steps = edges.select("src", "dst", F.lit(1).alias("w")).unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).alias("w"),
+        )
+    )
     dist = nodes.select(
         "node", F.when(F.col("node") == _BFS_SRC, 0).alias("dist")
     )
     for _ in range(_BFS_ITER):
-        relax = (
-            dist.join(F.broadcast(edges), dist.node == edges.src)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min(F.col("dist") + 1).alias("via"))
-        )
         dist = (
-            dist.join(F.broadcast(relax), "node", "left")
-            .select("node", F.least("dist", "via").alias("dist"))
+            dist.join(F.broadcast(steps), F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
         )
     return dist.select(
         "node", F.col("dist").cast("int").alias("dist")
