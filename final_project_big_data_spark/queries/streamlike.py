@@ -256,6 +256,15 @@ def w06(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long")
         % _ARR_JITTER
     )
+    # Round-12 note (guide §2.4): an explicit .repartition("bkt") here
+    # to share ONE exchange between the in-bucket window and the
+    # bucket-max aggregate was tried and REJECTED — per-branch column
+    # pruning makes the two subtrees non-identical, so ReuseExchange
+    # never fires, and the stated shuffle replaces the aggregate
+    # branch's map-side partial agg (a tiny per-bucket exchange) with a
+    # full-width (bkt, ts) exchange. The shipping two-branch shape pays
+    # a second SCAN (pruned to event_id+ts) instead of a second full
+    # exchange — the cheaper side of that trade at any volume.
     arr = e.withColumn("a", F.col("event_id") + jit).withColumn(
         "bkt", (F.col("a") / _WM_BUCKET).cast("long")
     )

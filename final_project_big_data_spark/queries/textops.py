@@ -204,27 +204,43 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
     The MLlib HashingTF/IDF surface rides the same math with hashed
     dimensions (tests/test_ml.py); this query pins the exact values.
     """
-    from pyspark.sql import Window as W
-
     d = widen(load_table(spark, sf, "documents"))
     words = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    # df as a window count over tf — tf rows are unique per (doc, word), so
-    # count(*) over the word partition IS the document frequency. One pass:
-    # a tf→df join would re-run the whole explode+aggregate for the join's
-    # build side (no subplan reuse across a broadcast boundary).
-    df = F.count("*").over(W.partitionBy("word"))
+    # Round-12 restructure (guide §2.3/§2.4). The old shape aggregated tf
+    # over the WHOLE corpus, window-counted df over every tf row (a full
+    # shuffle of the tf relation by word, plus a per-partition sort), and
+    # only THEN applied the doc_id < 100 output slice. Now the slice
+    # predicate sits in the tf branch — it pushes into the parquet scan
+    # (PushedFilters), so the tf aggregate touches ~100 docs — and df is
+    # its own aggregate over distinct (word, doc) pairs: the same first
+    # exchange bytes as the old tf agg, but the second exchange carries
+    # map-side-combined per-word partial counts instead of every tf row,
+    # and the window sort is gone. The bounded tf slice broadcasts into
+    # the df stream, so no third full-width exchange exists. Values are
+    # unchanged: df(word) = #docs containing word either way, and tf rows
+    # for doc_id < 100 are computed identically.
+    tf = (
+        words.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        words.select("word", "doc_id")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
     # corpus size as a broadcast 1-row frame, NOT d.count(): builders are
     # contractually lazy (zero jobs at build time), and at 100 TB an eager
     # count here would serialize a full scan before the query even starts.
     n = d.agg(F.count("*").alias("n_docs"))
-    idf = F.log((F.col("n_docs") + 1.0) / (df + 1.0)) + 1.0
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
-        tf.crossJoin(F.broadcast(n))
+        dfreq.join(F.broadcast(tf), "word")
+        .crossJoin(F.broadcast(n))
         .withColumn("tfidf", F.round(F.col("tf") * idf, 4))
-        .filter(F.col("doc_id") < 100)
         .select("doc_id", "word", "tf", "tfidf")
         .orderBy("doc_id", "word")
     )
