@@ -92,6 +92,14 @@ def materialize(copies: int) -> str:
     out = f"/tmp/spark_graft_scale_probe_x{copies}"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # COPY of the copies-cross-product must STREAM, not buffer: with
+    # insertion order preserved DuckDB held the whole 600M-row lineitem
+    # product in RAM (>100 GB RSS observed at 1000 copies on a 128 GB
+    # host) before writing a byte. Row order within the output parquet
+    # is irrelevant to every consumer (both engines read the same file),
+    # so drop the ordering guarantee and cap the buffer.
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='32GB'")
     for t, keys in SHIFT.items():
         dst = os.path.join(out, f"{t}.parquet")
         if os.path.exists(dst):
