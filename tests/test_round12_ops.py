@@ -155,3 +155,29 @@ def test_q14_reorder_and_semi_plan(spark, sf_dir, monkeypatch):
     pre = _plan(build(spark, sf_dir))
     assert "Join [o_custkey" in pre or "Join [c_custkey" in pre
     monkeypatch.delenv("SPARK_GRAFT_Q14_PREAGG")
+
+
+def test_iterative_graph_plans_grow_linearly_with_rounds(spark):
+    """Round-12 linearization pin: the step-relation recurrence references
+    the previous round's frame exactly ONCE, so the unrolled logical plan
+    must grow LINEARLY in the iteration count. The pre-r12 x09 merge
+    (dist ⟕ relax(dist)) embedded the previous round twice — 2^k growth —
+    which this guard would catch as a plan-string explosion (6 rounds
+    would be ≥8× the 3-round size; linear growth stays ≤~2.5×)."""
+    from pyspark.sql import functions as F
+
+    from final_project_big_data_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 7) for i in range(7)], "src long, dst long"
+    )
+
+    def plan_size(n_iter: int) -> int:
+        return len(
+            pagerank(edges, n_iter=n_iter)._jdf.queryExecution()
+            .logical()
+            .toString()
+        )
+
+    s3, s6 = plan_size(3), plan_size(6)
+    assert s6 < 2.5 * s3, (s3, s6)
