@@ -286,23 +286,56 @@ def main() -> None:
     except Exception:
         pass
 
+    # Output layout (round 13, VERDICT r12 #1): the driver captures a
+    # 2000-char TAIL of this process's output and parses the contract JSON
+    # from it. By round 11 the one-line JSON had grown past 2.5 KB (extras,
+    # spreads, per-query DuckDB dicts), so the tail cut off the FRONT of
+    # the line — "queries" was unparseable and the round-over-round
+    # headline comparison was lost (PERF_r12 prev_bench_ok=false). Fix:
+    # the LAST line printed is a compact contract line (metric / value /
+    # queries / sf first, plus scalar echoes — comfortably under 1.5 KB);
+    # every detail dict moves to an earlier printed line AND to the
+    # committed side file docs/BENCH_DETAIL.json. Nothing is measured
+    # differently and no query entry is removed — the same numbers are
+    # recorded, only the line layout changed (declared in
+    # OPTIMIZATION_r13.md).
+    detail: dict = {
+        "query_spread_sec": spreads,
+        "extra_queries": extras,
+    }
+    if ann:
+        detail["ann"] = ann
+    if duck_total is not None:
+        detail["duckdb_queries"] = duck_queries
+        detail["duckdb_compute_queries"] = duck_compute
+    if errors:
+        detail["errors"] = errors
+
+    sc = spark.sparkContext
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # scaling-visibility echo (VERDICT r12 #3): the driver re-runs the
+        # bench at a lower $SPARK_GRAFT_CPUS; these fields prove from the
+        # artifact alone that the env var is honored (master/threads) and
+        # why 8-vs-32-core ratios sit near 1 at sf0.1: data-sized
+        # partitioning plans so few tasks at ~10 MiB/table that 8 cores
+        # are as sufficient as 32 (the documented scheduler/codegen floor,
+        # BASELINE.md §3) — parallelism scales with data volume, not with
+        # this fixture.
+        "cpus": sc.defaultParallelism,
+        "master": sc.master,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
     }
-    out["query_spread_sec"] = spreads
-    out["extra_queries"] = extras
-    if ann:
-        out["ann"] = ann
     if replay_rate is not None:
         out["replay_msgs_per_sec"] = replay_rate
     if duck_total is not None:
         out["duckdb_total_sec"] = duck_total
-        out["duckdb_queries"] = duck_queries
-        out["duckdb_compute_queries"] = duck_compute
         out["duckdb_compute_total_sec"] = round(sum(duck_compute.values()), 3)
         # true only when both engines timed the identical headline set —
         # the spark-vs-duckdb ratio is meaningless otherwise; the compute
@@ -312,8 +345,30 @@ def main() -> None:
             n for n in timings if specs[n].oracle
         } and set(duck_compute) == set(duck_queries)
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        # full messages live in the detail file; the contract line carries
+        # the names so a red bench is visible even from the tail alone
+        out["error_queries"] = sorted(errors)
+    out["detail_file"] = "docs/BENCH_DETAIL.json"
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs",
+            "BENCH_DETAIL.json",
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except Exception:  # noqa: BLE001 — the side file must never fail the bench
+        pass
+    print(json.dumps({"bench_detail": detail}))
+    contract_line = json.dumps(out)
+    if len(contract_line) > 1900:
+        # tail-capture guard: shed optional keys, never the contract core
+        for k in ("error_queries", "detail_file", "master"):
+            out.pop(k, None)
+            contract_line = json.dumps(out)
+            if len(contract_line) <= 1900:
+                break
+    print(contract_line)
     # round-close freshness: the driver records this bench every round, so
     # regenerating docs/FRESHNESS.md here keeps the committed evidence-age
     # table current with the newest CORRECTNESS_r*.json on disk (VERDICT

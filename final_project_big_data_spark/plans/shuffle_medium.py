@@ -24,8 +24,17 @@ from pyspark.sql import SparkSession
 
 def shuffle_medium(spark: SparkSession) -> str:
     """``"network"`` (non-local master — shuffle crosses executors),
-    ``"ram"`` (local dir on tmpfs/ramfs), or ``"disk"``."""
-    if not spark.sparkContext.master.startswith("local"):
+    ``"ram"`` (local dir on tmpfs/ramfs), or ``"disk"``.
+
+    ``local-cluster[n,c,m]`` counts as network (round 13, VERDICT r12
+    #4): its executors are real separate JVMs whose shuffle blocks are
+    written per-executor and fetched through the netty transport —
+    per-byte serialization + transport cost like any cluster, just over
+    loopback. The old prefix test lumped it in with ``local[*]``, so the
+    one master available for end-to-end validation of the network-gated
+    branches could never fire them on its own sniff."""
+    master = spark.sparkContext.master
+    if not master.startswith("local") or master.startswith("local-cluster"):
         return "network"
     d = (
         os.environ.get("SPARK_LOCAL_DIRS")

@@ -261,6 +261,14 @@ def main() -> int:
             ).lower(),
             "spark.shuffle.compress": "true",
             "spark.shuffle.spill.compress": "true",
+            # zstd for sweep shuffle/spill (round 13): the r12 single-pass
+            # 1000x sweep failed exactly one entry — q95, "No space left
+            # on device" at ~60 GB free during its 600M-row fact-join
+            # spill under the default lz4. zstd's markedly better ratio
+            # (guide §2.3) buys disk headroom on correctness runs where
+            # codec CPU is not being timed; bench/timed sessions are
+            # untouched.
+            "spark.io.compression.codec": "zstd",
             # heap sized to volume too (round 6): 8g held 32 threads of
             # 600M-row SMJ sort buffers only until q79; see
             # session.sized_driver_memory

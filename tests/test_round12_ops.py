@@ -24,6 +24,23 @@ def test_shuffle_medium_disk_via_env(spark, monkeypatch):
     assert per_byte_cost_high(spark)
 
 
+def test_shuffle_medium_local_cluster_is_network():
+    """``local-cluster[n,c,m]`` executors are separate JVMs — shuffle
+    crosses the netty transport, so the sniff must read network (round
+    13, VERDICT r12 #4: the old ``startswith("local")`` test lumped the
+    only validatable multi-JVM master in with ``local[*]``, so the
+    network-gated q14 branches could never fire on their own sniff).
+    String-level stub: a second master cannot share the suite's
+    SparkContext (see tests/test_local_cluster.py)."""
+    from types import SimpleNamespace
+
+    fake = SimpleNamespace(
+        sparkContext=SimpleNamespace(master="local-cluster[2,8,2048]")
+    )
+    assert shuffle_medium(fake) == "network"
+    assert per_byte_cost_high(fake)
+
+
 def test_per_byte_cost_tracks_codec(spark, monkeypatch):
     """On RAM-shuffle, cost is high iff the codec is on (compression CPU
     is proportional to bytes on both ends; spark.shuffle.compress is a
@@ -164,8 +181,6 @@ def test_iterative_graph_plans_grow_linearly_with_rounds(spark):
     (dist ⟕ relax(dist)) embedded the previous round twice — 2^k growth —
     which this guard would catch as a plan-string explosion (6 rounds
     would be ≥8× the 3-round size; linear growth stays ≤~2.5×)."""
-    from pyspark.sql import functions as F
-
     from final_project_big_data_spark.operators.pagerank import pagerank
 
     edges = spark.createDataFrame(
@@ -177,6 +192,28 @@ def test_iterative_graph_plans_grow_linearly_with_rounds(spark):
             pagerank(edges, n_iter=n_iter)._jdf.queryExecution()
             .logical()
             .toString()
+        )
+
+    s3, s6 = plan_size(3), plan_size(6)
+    assert s6 < 2.5 * s3, (s3, s6)
+
+
+def test_x09_bfs_plan_grows_linearly_with_rounds(spark, sf_dir, monkeypatch):
+    """Same linear-growth pin over x09's INLINE step-relation loop
+    (ADVICE r12: the pagerank guard above covers x05's operator, but the
+    documented 2^k offender — x09's dist⟕relax(dist) merge in
+    queries/connectors.py — is inline code the operator guard cannot see;
+    reintroducing the quadratic merge there would otherwise pass CI).
+    ``_BFS_ITER`` is a module global the builder reads at call time, so
+    patching it exercises the real registry builder."""
+    from final_project_big_data_spark.queries import all_specs, connectors
+
+    build = all_specs()["x09_bfs_distance"].builder
+
+    def plan_size(n_iter: int) -> int:
+        monkeypatch.setattr(connectors, "_BFS_ITER", n_iter)
+        return len(
+            build(spark, sf_dir)._jdf.queryExecution().logical().toString()
         )
 
     s3, s6 = plan_size(3), plan_size(6)

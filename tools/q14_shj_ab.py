@@ -10,6 +10,14 @@ Threshold) is runtime-gated on the actual post-shuffle partition size,
 so it cannot OOM a partition bigger than the threshold — the reason to
 prefer it over a static SHUFFLE_HASH hint at 100 TB.
 
+The ``shj`` arm sets ONLY the AQE threshold (ADVICE r12: an earlier
+version also flipped spark.sql.join.preferSortMergeJoin, which lets the
+planner pick a STATIC shuffled-hash join at plan time — a different,
+not-size-gated mechanism than the one this tool documents). Note the
+engine's local session already sets preferSortMergeJoin=false for local
+masters (session.py), so both arms inherit that; the arms differ only
+in whether the AQE runtime rewrite may fire.
+
 Usage: python tools/q14_shj_ab.py smj|shj [runs] [sf_dir]
 One config per process (round-6 lesson).
 """
@@ -45,7 +53,6 @@ def main() -> None:
     }
     if mode == "shj":
         extra["spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"] = "419430400"
-        extra["spark.sql.join.preferSortMergeJoin"] = "false"
     spark = get_spark(
         app_name=f"q14_{mode}",
         shuffle_partitions=sized_shuffle_partitions(sf_dir),

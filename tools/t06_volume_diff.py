@@ -45,14 +45,31 @@ def main() -> None:
         t0 = time.perf_counter()
         du = con.execute(spec.oracle).df()
         t_duck = round(time.perf_counter() - t0, 1)
-        sp = sp[sorted(sp.columns)].reset_index(drop=True)
-        du = du[sorted(du.columns)].reset_index(drop=True)
+        sp = sp[sorted(sp.columns)]
+        du = du[sorted(du.columns)]
         match = len(sp) == len(du)
         if match:
             try:
                 du = du.astype(dict(sp.dtypes))
+                # sort rows by the non-float columns so the compare does
+                # not depend on each entry's ORDER BY yielding a unique
+                # total order (ADVICE r12); floats are excluded from the
+                # key because near-equal values could order differently
+                # across engines and mis-pair rows the tolerance check
+                # would otherwise accept
+                key = [
+                    c for c in sp.columns if sp[c].dtype.kind not in "fc"
+                ] or list(sp.columns)
+                sp = sp.sort_values(key, kind="mergesort").reset_index(
+                    drop=True
+                )
+                du = du.sort_values(key, kind="mergesort").reset_index(
+                    drop=True
+                )
                 pd.testing.assert_frame_equal(sp, du, check_exact=False)
-            except AssertionError:
+            except Exception:  # noqa: BLE001 — dtype coercion (ValueError/
+                # TypeError on nullable-int vs NaN) must report a mismatch,
+                # not crash the probe (ADVICE r12)
                 match = False
         print(
             json.dumps(
