@@ -536,18 +536,31 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         rev = li.groupBy("l_orderkey").agg(
             F.sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("_rev")
+            ).alias("_preagg_rev")
         )
         return (
             rev.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
             .select(
                 "l_orderkey",
-                F.round(F.col("_rev"), 4).alias("revenue"),
+                F.round(F.col("_preagg_rev"), 4).alias("revenue"),
                 F.col("o_orderdate").cast("date").alias("orderdate"),
             )
             .orderBy(F.desc("revenue"), "l_orderkey")
             .limit(20)
         )
+    # round-13 optimization (guide §2.3 "shuffle fewer bytes", VERDICT r12
+    # #5): fold the two revenue factors into ONE double BEFORE the fact's
+    # exchange. The 1000× plan's residual is the 107M-row exchange + sort
+    # whose rows carried [l_orderkey, l_extendedprice, l_discount] — 32
+    # UnsafeRow bytes; [l_orderkey, _rev] is 24 (−25%). The per-row
+    # multiply is the identical double op either side of the exchange and
+    # the aggregate sums the same addends in the same grouped pipeline, so
+    # the result is bit-unchanged (oracle-verified at sf0.001/0.01/0.1 and
+    # value-diffed at the 1000× probe).
+    li = li.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
     if _q14_semi(spark, sf):
         keys = oc.select(F.col("o_orderkey").alias("_sk"))
         li = li.join(
@@ -565,12 +578,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         j = li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
         j.groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                4,
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(F.col("_rev")), 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
