@@ -198,6 +198,32 @@ def test_iterative_graph_plans_grow_linearly_with_rounds(spark):
     assert s6 < 2.5 * s3, (s3, s6)
 
 
+def test_q14_fact_exchange_is_narrow(spark, sf_dir, monkeypatch):
+    """Round-13 pin (guide §2.3): the fact side crossing q14's exchange
+    carries exactly (l_orderkey, _rev) — the revenue product is folded
+    into ONE double BEFORE the shuffle (measured −22% fact-exchange
+    bytes at 1000×). Forced past the flat cap so the exchange exists;
+    the raw price/discount columns must not appear above the scan's
+    project."""
+    from final_project_big_data_spark.queries import all_specs
+
+    monkeypatch.setenv("SPARK_GRAFT_Q14_FLAT", "0")
+    plan = _plan(
+        all_specs()["q14_multiway_join"].builder(spark, sf_dir)
+    )
+    monkeypatch.delenv("SPARK_GRAFT_Q14_FLAT")
+    assert "_rev" in plan
+    # the product is computed in the scan-side project; nothing above it
+    # (exchange, sort, join, agg) references the two raw columns
+    [proj_line] = [
+        l
+        for l in plan.splitlines()
+        if "_rev" in l and "l_extendedprice" in l and "Project" in l
+    ]
+    above = plan.split(proj_line)[0]
+    assert "l_extendedprice" not in above and "l_discount" not in above
+
+
 def test_x09_bfs_plan_grows_linearly_with_rounds(spark, sf_dir, monkeypatch):
     """Same linear-growth pin over x09's INLINE step-relation loop
     (ADVICE r12: the pagerank guard above covers x05's operator, but the
